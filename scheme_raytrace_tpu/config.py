@@ -1,0 +1,70 @@
+"""Render configuration.
+
+The reference configures itself through edit-in-place global `define`s
+(main.scm:26,104,126-127,433,437 — image size, max depth, shadow epsilon,
+sample cap, scene selection).  Here every knob is an explicit field of one
+dataclass so parity configs are reproducible (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Numerical-constants ledger (SURVEY.md §6.4), reproduced as named config
+# defaults.  The reference's +max-float+ (constant.scm:6) is 999999999999;
+# that value is exactly representable in f32 so we keep it for parity.
+BIG = 999999999999.0          # constant.scm:6 (+max-float+)
+SHADOW_EPS = 0.001            # main.scm:104 (t_min of every scattered ray)
+RECT_PAD = 0.0001             # geometry.scm:391,410,429 (rect AABB thickness)
+MEDIUM_REHIT_EPS = 0.0001     # geometry.scm:553 (re-probe offset)
+KLEIN_MAX_STEPS = 100         # geometry.scm:635
+KLEIN_ITERATIONS = 10         # geometry.scm:610-620
+KLEIN_SURF_EPS = 0.001        # geometry.scm:656
+KLEIN_NORMAL_H = 0.01         # geometry.scm:627-632
+KLEIN_DE_SCALE = 0.7          # geometry.scm:607,621
+KLEIN_R = 125.0               # geometry.scm:600
+KLEIN_SPHERE_R = 300.0        # geometry.scm:590-598
+SAH_T_TRI = 1.0               # geometry.scm:297
+SAH_T_AABB = 1.0              # geometry.scm:298
+GAMMA_QUANT = 255.99          # main.scm:463
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (trace-time) rendering configuration.
+
+    All fields are Python scalars — the config is hashable and used as a
+    static argument to jitted entry points.
+    """
+
+    nx: int = 200                 # image width  (main.scm:126)
+    ny: int = 200                 # image height (main.scm:127)
+    spp: int = 16                 # samples per pixel per render() call
+    max_depth: int = 100          # bounce cap (main.scm:26)
+    seed: int = 0
+    # Integrator options
+    light_sampling: bool = False  # mixture cosine/light PDF (pdf.scm intent, B5)
+    russian_roulette: bool = False  # OFF for parity (SURVEY §7.3 item 3)
+    rr_start_depth: int = 4
+    # Traversal: "brute" masked sweep (default; scenes are <1k prims) or
+    # "bvh" flat-array stackless traversal.
+    traversal: str = "brute"
+    # Differentiable path uses a fixed-length scan instead of while_loop.
+    differentiable: bool = False
+    # Precision of the compute path ("f32" on TPU; "f64" for the CPU oracle).
+    dtype: str = "f32"
+    # Ray-pool tile size: rays are traced in chunks of this many to bound
+    # memory; must be a multiple of 8*128 for clean TPU tiling.
+    tile_rays: int = 128 * 1024
+    # Bezier intersection: number of seed samples along the curve parameter
+    # and Newton refinement steps (ops/bezier.py).
+    bezier_seeds: int = 32
+    bezier_newton: int = 8
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def n_pixels(self) -> int:
+        return self.nx * self.ny

@@ -1,0 +1,105 @@
+"""Masked material shading: scatter + emit for a whole ray batch at once.
+
+The reference dispatches per-hit through closure vtables (material.scm:15-22)
+with two incompatible layouts (metal/dielectric are RTIOW-era 2-closure —
+bug B3 — so the committed integrator only supports lambertian/diffuse-light
+scenes).  Here every material implements the full protocol uniformly:
+specular materials are delta distributions whose s_pdf/pdf ratio is
+identically 1, so `throughput *= albedo` with no pdf division — this is the
+documented B3 fix that makes the RTOW-final config renderable.
+
+All branches are computed masked and select-combined: materials are a few
+VPU ops each, far cheaper than sorting/compacting by type at these scene
+sizes (EP-style material sorting is a later optimization, SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import vecmath as vm
+from ..core import rng
+from ..ops import onb, sampling, texture
+from ..scene import objects as ob
+from . import pdfs
+
+
+class Scatter(NamedTuple):
+    alive: jnp.ndarray       # [N] continues bouncing
+    direction: jnp.ndarray   # [N,3] unit next direction
+    mult: jnp.ndarray        # [N,3] throughput multiplier
+    emitted: jnp.ndarray     # [N,3]
+
+
+def shade(key, scene, config, d, rec):
+    """One bounce of material evaluation for rays d hitting at `rec`.
+
+    d: [N,3] unit incoming directions; rec: HitRec.  Valid only where
+    rec.hit — caller masks with the alive set.
+    """
+    n_rays = d.shape[0]
+    mtype = scene.mat_type[rec.mat]
+    albedo = texture.value(scene, scene.mat_tex[rec.mat], rec.u, rec.v, rec.p)
+    normal = rec.normal
+
+    k_scatter, k_diel, k_fuzz, k_mix = jax.random.split(key, 4)
+
+    # --- emission (material.scm:103-111): front face only -----------------
+    is_light = mtype == ob.MAT_DIFFUSE_LIGHT
+    front = vm.dot(normal, d) < 0.0
+    emitted = jnp.where((is_light & front)[:, None], albedo,
+                        jnp.zeros_like(albedo))
+
+    # --- lambertian (material.scm:24-39) -----------------------------------
+    # cosine importance sampling => attenuation * s_pdf/pdf == attenuation;
+    # with light-sampling the mixture pdf splits them (main.scm:113-118).
+    if config.light_sampling and scene.n_lights > 0:
+        lam_dir, pdf = pdfs.mixture_sample_and_value(k_mix, scene, normal,
+                                                     rec.p)
+        s_pdf = pdfs.cosine_value(normal, lam_dir)     # material.scm:33-36
+        ratio = s_pdf / jnp.maximum(pdf, 1e-12)
+        lam_mult = albedo * ratio[:, None]
+        lam_ok = pdf > 0.0
+    else:
+        lam_dir = pdfs.cosine_sample(k_scatter, normal)
+        lam_mult = albedo
+        lam_ok = jnp.ones(n_rays, bool)
+
+    # --- isotropic phase (geometry.scm:546 commented alternative) ----------
+    iso_dir = vm.unit(sampling.in_unit_sphere(k_scatter, (n_rays,), d.dtype))
+
+    # --- metal (material.scm:45-57) ----------------------------------------
+    refl = vm.reflect(d, normal)
+    fuzzed = refl + scene.mat_fuzz[rec.mat][:, None] * sampling.in_unit_sphere(
+        k_fuzz, (n_rays,), d.dtype)
+    metal_ok = vm.dot(fuzzed, normal) > 0.0
+    metal_dir = vm.unit(fuzzed, eps=1e-12)
+
+    # --- dielectric (material.scm:76-101) -----------------------------------
+    ref_idx = scene.mat_ref[rec.mat]
+    dd = vm.dot(d, normal)
+    exiting = dd > 0.0
+    outward_n = vm.where3(exiting, -normal, normal)
+    ni_over_nt = jnp.where(exiting, ref_idx, 1.0 / ref_idx)
+    cosine = jnp.where(exiting, dd * ref_idx, -dd)     # |d| == 1
+    refr_ok, refracted = vm.refract(d, outward_n, ni_over_nt)
+    reflect_prob = jnp.where(refr_ok, vm.schlick(cosine, ref_idx), 1.0)
+    take_refl = jax.random.uniform(k_diel, (n_rays,), d.dtype) < reflect_prob
+    diel_dir = vm.unit(vm.where3(take_refl, refl, refracted), eps=1e-12)
+
+    # --- combine ------------------------------------------------------------
+    is_lam = mtype == ob.MAT_LAMBERTIAN
+    is_metal = mtype == ob.MAT_METAL
+    is_diel = mtype == ob.MAT_DIELECTRIC
+    is_iso = mtype == ob.MAT_ISOTROPIC
+
+    direction = vm.where3(is_lam, lam_dir,
+                vm.where3(is_metal, metal_dir,
+                vm.where3(is_diel, diel_dir, iso_dir)))
+    mult = jnp.where(is_diel[:, None], jnp.ones_like(albedo),
+                     jnp.where(is_lam[:, None], lam_mult, albedo))
+    alive = ((is_lam & lam_ok) | (is_metal & metal_ok) | is_diel | is_iso)
+    return Scatter(alive, direction, mult, emitted)

@@ -1,0 +1,80 @@
+"""Batched ray x sphere intersection sweep (geometry.scm:146-215).
+
+One fused [N rays, S spheres] sweep replaces the reference's per-object
+closure calls; static and moving spheres share one parameter layout
+(center lerped by ray time, geometry.scm:188-193).  Negative radius keeps
+the reference's hollow-dielectric normal flip (normal = (p-c)/r,
+geometry.scm:159-160; used by main.scm:171-172).
+
+UV: the reference's `get-sphere-uv` computes phi = atan(z, z) — bug B1
+(geometry.scm:139) — and reads the raw hit point, which is only meaningful
+for a unit sphere at the origin.  Fixed here to the canonical Shirley form
+evaluated on the outward unit normal.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import vecmath as vm
+
+_PI = jnp.pi
+
+
+def sphere_uv(n_unit):
+    """Canonical Shirley sphere UV from the outward unit normal (B1 fixed).
+
+    The clip stays strictly inside (-1, 1) so arcsin' is finite at the
+    poles — uv error is ~1e-6, invisible, and it keeps grads NaN-free.
+    """
+    phi = jnp.arctan2(n_unit[..., 2], n_unit[..., 0])
+    theta = jnp.arcsin(jnp.clip(n_unit[..., 1], -1.0 + 1e-6, 1.0 - 1e-6))
+    u = 1.0 - (phi + _PI) / (2.0 * _PI)
+    v = (theta + _PI / 2.0) / _PI
+    return u, v
+
+
+def intersect(o, d, time, scene, t_min, t_max):
+    """Closest valid sphere hit per ray.
+
+    o, d: [N,3] (d unit); time: [N]; returns
+    (hit [N] bool, t [N], normal [N,3], mat [N] i32, u [N], v [N]).
+    """
+    c0, c1 = scene.sph_c0, scene.sph_c1          # [S,3]
+    if scene.has_moving:
+        # geometry.scm:188-193 — lerp center by ray time
+        span = scene.sph_t1 - scene.sph_t0
+        frac = (time[:, None] - scene.sph_t0) / jnp.where(span == 0.0, 1.0, span)
+        c = c0 + frac[..., None] * (c1 - c0)     # [N,S,3]
+        oc = o[:, None, :] - c
+    else:
+        c = c0                                    # [S,3]
+        oc = o[:, None, :] - c0[None, :, :]       # [N,S,3]
+    r = scene.sph_r                               # [S]
+
+    # Half-b quadratic (geometry.scm:149-153); a == 1 for unit d.
+    b = vm.dot(oc, d[:, None, :])                 # [N,S]
+    cq = vm.sq_len(oc) - r * r
+    disc = b * b - cq
+    ok = disc > 0.0
+    # double-where: keep sqrt' finite on masked lanes so grads don't NaN
+    sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    in0 = ok & (t0 > t_min) & (t0 < t_max)
+    in1 = ok & (t1 > t_min) & (t1 < t_max)
+    t = jnp.where(in0, t0, jnp.where(in1, t1, jnp.inf))
+    t = jnp.where(scene.sph_valid[None, :], t, jnp.inf)
+
+    j = jnp.argmin(t, axis=1)                     # [N]
+    tb = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
+    hit = jnp.isfinite(tb)
+    tb = jnp.where(hit, tb, t_max)
+
+    cj = (jnp.take_along_axis(c, j[:, None, None], axis=1)[:, 0, :]
+          if c.ndim == 3 else c[j])
+    rj = r[j]
+    p = o + tb[:, None] * d
+    normal = (p - cj) / rj[:, None]               # sign(r) flips (hollow trick)
+    u, v = sphere_uv(normal * jnp.sign(rj)[:, None])
+    return hit, tb, normal, scene.sph_mat[j], u, v
