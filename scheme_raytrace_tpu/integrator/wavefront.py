@@ -39,6 +39,8 @@ class RayState(NamedTuple):
     throughput: jnp.ndarray  # [N,3]
     alive: jnp.ndarray       # [N] bool
     depth: jnp.ndarray       # scalar i32
+    segments: jnp.ndarray    # scalar i32 — total path segments traced
+                             # (rays/s observability, SURVEY §5.5)
 
 
 def sky_color(scene, d):
@@ -81,22 +83,31 @@ def _bounce(state: RayState, scene, config, key) -> RayState:
 
     o = vm.where3(scattering, rec.p, state.o)
     d = vm.where3(scattering, sc.direction, state.d)
+    segments = state.segments + jnp.sum(state.alive).astype(jnp.int32)
     return RayState(o, d, state.time, radiance, throughput,
-                    scattering, state.depth + 1)
+                    scattering, state.depth + 1, segments)
 
 
 def trace_rays(scene, o, d, time, key, config) -> jnp.ndarray:
-    """Integrate radiance for a ray pool; returns [N,3].
+    """Integrate radiance for a ray pool; returns [N,3]."""
+    return trace_rays_full(scene, o, d, time, key, config).radiance
+
+
+def trace_rays_full(scene, o, d, time, key, config) -> RayState:
+    """Like trace_rays but returns the final RayState (incl. segment count).
 
     o/d/time from camera.get_rays; key is the per-pass bounce key root.
     """
-    n = o.shape[0]
+    # Carry inits derive from the ray arrays (not fresh constants) so they
+    # inherit the shard-varying type under shard_map — the loop body makes
+    # them varying, and JAX requires carry-in/carry-out types to match.
     state = RayState(
         o=o, d=d, time=time,
-        radiance=jnp.zeros((n, 3), o.dtype),
-        throughput=jnp.ones((n, 3), o.dtype),
-        alive=jnp.ones(n, bool),
+        radiance=o * 0.0,
+        throughput=o * 0.0 + 1.0,
+        alive=time == time,                             # all-True, varying
         depth=jnp.zeros((), jnp.int32),
+        segments=(jnp.sum(time) * 0.0).astype(jnp.int32),
     )
 
     if config.differentiable:
@@ -111,4 +122,4 @@ def trace_rays(scene, o, d, time, key, config) -> jnp.ndarray:
             lambda s: (s.depth <= config.max_depth) & jnp.any(s.alive),
             lambda s: _bounce(s, scene, config, key),
             state)
-    return state.radiance
+    return state

@@ -1,0 +1,107 @@
+"""Sharded rendering + differentiable training step over a device mesh.
+
+The ray pool (rows of the image) shards across the mesh's `rays` axis via
+`shard_map`; the Scene pytree and camera are replicated.  The forward pass
+needs no collectives at all (rays are independent); the training step
+(inverse rendering: fit scene parameters to a target image) psums the
+parameter gradients across shards — that single all-reduce is the only
+inter-chip traffic, exactly the DP pattern the BASELINE prescribes
+("shard rays and tiles, replicate scene parameters, all-reduce parameter
+gradients").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .. import config as cfg_mod
+from ..camera import Camera, get_rays
+from ..core import rng
+from ..integrator.wavefront import trace_rays
+from ..scene import build as sb
+from .mesh import RAY_AXIS
+
+
+def _pass_rows(scene, cam, config, pass_idx, shard_idx, rows, dtype):
+    """Render `rows` image rows starting at shard_idx*rows: [rows, nx, 3]."""
+    key = jax.random.fold_in(
+        jax.random.fold_in(rng.root_key(config.seed), pass_idx), shard_idx)
+    k_jit, k_lens, k_trace = jax.random.split(key, 3)
+
+    n = rows * config.nx
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ys_local, xs = jnp.divmod(idx, config.nx)
+    ys = ys_local + shard_idx * rows
+    xi = jax.random.uniform(k_jit, (n, 2), dtype)
+    u = (xs.astype(dtype) + xi[:, 0]) / config.nx
+    v = (ys.astype(dtype) + xi[:, 1]) / config.ny
+    o, d, time = get_rays(cam, u, v, k_lens)
+    radiance = trace_rays(scene, o, d, time, k_trace, config)
+    return radiance.reshape(rows, config.nx, 3)
+
+
+def _mean_image_local(scene, cam, config, rows, dtype):
+    """config.spp passes of this shard's rows; returns the mean frame."""
+    shard_idx = jax.lax.axis_index(RAY_AXIS)
+
+    def body(acc, i):
+        return acc + _pass_rows(scene, cam, config, i, shard_idx, rows,
+                                dtype), None
+    # pvary: the accumulator is shard-local (varying), not replicated
+    init = jax.lax.pvary(jnp.zeros((rows, config.nx, 3), dtype), (RAY_AXIS,))
+    acc, _ = jax.lax.scan(body, init, jnp.arange(config.spp))
+    return acc / config.spp
+
+
+def render_sharded(scene, cam: Camera, config: cfg_mod.RenderConfig, mesh):
+    """Full-frame mean radiance [ny,nx,3], rows sharded over the mesh."""
+    n_dev = mesh.shape[RAY_AXIS]
+    assert config.ny % n_dev == 0, (
+        f"ny={config.ny} must divide evenly over {n_dev} devices")
+    rows = config.ny // n_dev
+    dtype = jnp.float32 if config.dtype == "f32" else jnp.float64
+
+    fn = shard_map(
+        functools.partial(_mean_image_local, config=config, rows=rows,
+                          dtype=dtype),
+        mesh=mesh,
+        in_specs=(P(), P()),            # scene + camera replicated
+        out_specs=P(RAY_AXIS),          # rows sharded
+    )
+    return jax.jit(fn)(scene, cam)
+
+
+def train_step(params, rest_scene, cam: Camera, config: cfg_mod.RenderConfig,
+               target, mesh, lr: float = 1e-2):
+    """One inverse-rendering SGD step: L2 image loss, psum'd param grads.
+
+    params/rest_scene from `scene.build.partition`; target [ny,nx,3]
+    (sharded over rows like the render).  Returns (new_params, loss).
+    """
+    n_dev = mesh.shape[RAY_AXIS]
+    rows = config.ny // n_dev
+    dtype = jnp.float32 if config.dtype == "f32" else jnp.float64
+    dcfg = config.replace(differentiable=True)
+
+    def local_loss(params, cam, target_shard):
+        scene = sb.combine(params, rest_scene)
+        img = _mean_image_local(scene, cam, dcfg, rows, dtype)
+        # mean over the FULL image: local sum / global count
+        return jnp.sum((img - target_shard) ** 2) / (config.ny * config.nx * 3)
+
+    def step(params, cam, target_shard):
+        loss, grads = jax.value_and_grad(local_loss)(params, cam, target_shard)
+        loss = jax.lax.psum(loss, RAY_AXIS)
+        grads = jax.lax.psum(grads, RAY_AXIS)      # DP gradient all-reduce
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P(), P(), P(RAY_AXIS)),
+                   out_specs=(P(), P()))
+    return jax.jit(fn)(params, cam, target)
