@@ -78,3 +78,98 @@ def intersect(o, d, time, scene, t_min, t_max):
     normal = (p - cj) / rj[:, None]               # sign(r) flips (hollow trick)
     u, v = sphere_uv(normal * jnp.sign(rj)[:, None])
     return hit, tb, normal, scene.sph_mat[j], u, v
+
+
+def _center_at(scene, j, time):
+    """Center of sphere j [N] at ray time [N] (geometry.scm:188-193)."""
+    c0, c1 = scene.sph_c0[j], scene.sph_c1[j]
+    if not scene.has_moving:
+        return c0
+    span = scene.sph_t1[j] - scene.sph_t0[j]
+    frac = (time - scene.sph_t0[j]) / jnp.where(span == 0.0, 1.0, span)
+    return c0 + frac[:, None] * (c1 - c0)
+
+
+def intersect_bvh(o, d, time, scene, t_min, t_max):
+    """Closest sphere hit via the flat threaded BVH (scene/bvh.py).
+
+    TPU shape of the reference's recursive node hit (geometry.scm:244-257,
+    :352-368): every ray carries a node cursor; one `lax.while_loop` step
+    slab-tests the cursor node (clipped to the ray's best t so far — the
+    closest-so-far pruning the closure tree gets from its t-max argument),
+    intersects leaf prim slots vectorized, then follows hit/miss links.
+    Stackless, fixed state, no recursion.  Forward-only (while_loop): the
+    differentiable path uses the brute-force sweep instead.
+    """
+    n = o.shape[0]
+    dt = o.dtype
+    inv_d = 1.0 / d                                   # [N,3]
+
+    def cond(state):
+        cursor, _, _ = state
+        return jnp.any(cursor >= 0)
+
+    def body(state):
+        cursor, best_t, best_j = state
+        node = jnp.maximum(cursor, 0)
+        active = cursor >= 0
+        pmin = scene.bvh_pmin[node]                   # [N,3]
+        pmax = scene.bvh_pmax[node]
+        ta = (pmin - o) * inv_d
+        tb_ = (pmax - o) * inv_d
+        entry = jnp.maximum(jnp.max(jnp.minimum(ta, tb_), -1), t_min)
+        exit_ = jnp.minimum(jnp.min(jnp.maximum(ta, tb_), -1), best_t)
+        box_hit = active & (entry < exit_)
+
+        # leaf primitive slots: [N, MAX_LEAF]
+        prims = scene.bvh_prims[node]
+        slot_ok = box_hit[:, None] & (prims >= 0)
+        pj = jnp.maximum(prims, 0)
+        c = _center_at_slots(scene, pj, time)         # [N,L,3]
+        r = scene.sph_r[pj]
+        oc = o[:, None, :] - c
+        b = vm.dot(oc, d[:, None, :])
+        cq = vm.sq_len(oc) - r * r
+        disc = b * b - cq
+        ok = slot_ok & (disc > 0.0)
+        sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        t0 = jnp.where(ok & (t0 > t_min) & (t0 < best_t[:, None]), t0, jnp.inf)
+        t1 = jnp.where(ok & (t1 > t_min) & (t1 < best_t[:, None]), t1, jnp.inf)
+        t_slot = jnp.minimum(t0, t1)
+        k = jnp.argmin(t_slot, axis=1)
+        t_new = jnp.take_along_axis(t_slot, k[:, None], axis=1)[:, 0]
+        j_new = jnp.take_along_axis(pj, k[:, None], axis=1)[:, 0]
+        closer = t_new < best_t
+        best_t = jnp.where(closer, t_new, best_t)
+        best_j = jnp.where(closer, j_new, best_j)
+
+        nxt = jnp.where(box_hit, scene.bvh_hit[node], scene.bvh_miss[node])
+        cursor = jnp.where(active, nxt, cursor)
+        return cursor, best_t, best_j
+
+    cursor0 = jnp.zeros(n, jnp.int32)
+    best_t0 = jnp.full(n, t_max, dt)
+    best_j0 = jnp.zeros(n, jnp.int32)
+    _, best_t, j = jax.lax.while_loop(cond, body, (cursor0, best_t0, best_j0))
+
+    hit = best_t < t_max
+    tb = jnp.where(hit, best_t, t_max)
+    cj = _center_at(scene, j, time)
+    rj = scene.sph_r[j]
+    p = o + tb[:, None] * d
+    normal = (p - cj) / rj[:, None]
+    u, v = sphere_uv(normal * jnp.sign(rj)[:, None])
+    return hit, tb, normal, scene.sph_mat[j], u, v
+
+
+def _center_at_slots(scene, pj, time):
+    """Centers for [N, L] prim slots at ray time [N]."""
+    c0, c1 = scene.sph_c0[pj], scene.sph_c1[pj]       # [N,L,3]
+    if not scene.has_moving:
+        return c0
+    span = scene.sph_t1[pj] - scene.sph_t0[pj]
+    frac = (time[:, None] - scene.sph_t0[pj]) / jnp.where(span == 0.0, 1.0,
+                                                          span)
+    return c0 + frac[..., None] * (c1 - c0)

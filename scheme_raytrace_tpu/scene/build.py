@@ -55,6 +55,8 @@ _DATA_FIELDS = [
     # textures
     "tex_type", "tex_color", "tex_child0", "tex_child1", "tex_scale",
     "tex_image", "tex_iw", "tex_ih", "images",
+    # flat threaded sphere BVH (scene/bvh.py; geometry.scm:217-374)
+    "bvh_pmin", "bvh_pmax", "bvh_hit", "bvh_miss", "bvh_prims",
     # perlin tables
     "perlin_ranvec", "perlin_perm",
     # sky gradient endpoints (black sky = both zero)
@@ -64,7 +66,7 @@ _DATA_FIELDS = [
 ]
 _META_FIELDS = ["has_spheres", "has_rects", "has_media", "has_beziers",
                 "has_klein", "n_lights", "has_perlin_tex", "has_image_tex",
-                "has_checker_tex", "has_moving", "has_rect_xform"]
+                "has_checker_tex", "has_moving", "has_rect_xform", "has_bvh"]
 
 
 @dataclasses.dataclass
@@ -85,6 +87,8 @@ class Scene:
     bez_cp: jnp.ndarray; bez_w: jnp.ndarray; bez_mat: jnp.ndarray
     bez_valid: jnp.ndarray
     kl_center: jnp.ndarray; kl_mat: jnp.ndarray; kl_valid: jnp.ndarray
+    bvh_pmin: jnp.ndarray; bvh_pmax: jnp.ndarray
+    bvh_hit: jnp.ndarray; bvh_miss: jnp.ndarray; bvh_prims: jnp.ndarray
     mat_type: jnp.ndarray; mat_tex: jnp.ndarray
     mat_fuzz: jnp.ndarray; mat_ref: jnp.ndarray
     tex_type: jnp.ndarray; tex_color: jnp.ndarray
@@ -108,6 +112,7 @@ class Scene:
     has_checker_tex: bool = False
     has_moving: bool = False        # any sphere with center0 != center1
     has_rect_xform: bool = False    # any rect with a non-identity transform
+    has_bvh: bool = False           # flat sphere BVH arrays populated
 
     @property
     def dtype(self):
@@ -256,12 +261,16 @@ def _box_rects(pmin, pmax, material):
 
 def compile_scene(objs: Sequence[ob.Hittable], sky: str = "black",
                   dtype=jnp.float32, perlin_seed: int = 0,
-                  lights: Optional[Sequence[ob.Hittable]] = None) -> Scene:
+                  lights: Optional[Sequence[ob.Hittable]] = None,
+                  bvh: Optional[str] = None, bvh_seed: int = 0) -> Scene:
     """Flatten a hittable list into the SoA Scene pytree.
 
     `sky`: "gradient" (main.scm:91-95) or "black" (main.scm:97-98).
     `lights`: hittables to importance-sample (xz-rects/spheres); default:
     auto-detect primitives with DiffuseLight material.
+    `bvh`: None (brute-force sweeps), "median" (geometry.scm:217-260) or
+    "sah" (geometry.scm:282-374) — builds a flat threaded BVH over the
+    sphere group, traversed when RenderConfig.traversal == "bvh".
     """
     mats = _Registry()
     texs = _Registry()
@@ -463,6 +472,21 @@ def compile_scene(objs: Sequence[ob.Hittable], sky: str = "black",
     else:
         sky_a, sky_b = np.asarray(sky[0], np.float64), np.asarray(sky[1], np.float64)
 
+    # ---- sphere BVH (optional) ---------------------------------------------
+    if bvh is not None and spheres:
+        from . import bvh as bvh_mod
+        b_pmin, b_pmax = bvh_mod.sphere_bounds(sph_c0, sph_c1, sph_r)
+        flat = (bvh_mod.build_sah(b_pmin, b_pmax) if bvh == "sah"
+                else bvh_mod.build_median(b_pmin, b_pmax, bvh_seed))
+        bvh_arrays = (flat.pmin, flat.pmax, flat.hit_link, flat.miss_link,
+                      flat.prims)
+        has_bvh = True
+    else:
+        bvh_arrays = (np.zeros((1, 3)), np.zeros((1, 3)),
+                      np.full(1, -1, np.int32), np.full(1, -1, np.int32),
+                      np.full((1, 4), -1, np.int32))
+        has_bvh = False
+
     ranvec, perm = perlin_mod.generate_tables(perlin_seed)
 
     f = lambda x: jnp.asarray(x, dtype)
@@ -482,6 +506,9 @@ def compile_scene(objs: Sequence[ob.Hittable], sky: str = "black",
         bez_valid=jnp.asarray(bez_valid),
         kl_center=f(kl_center), kl_mat=i32(kl_mat),
         kl_valid=jnp.asarray(kl_valid),
+        bvh_pmin=f(bvh_arrays[0]), bvh_pmax=f(bvh_arrays[1]),
+        bvh_hit=i32(bvh_arrays[2]), bvh_miss=i32(bvh_arrays[3]),
+        bvh_prims=i32(bvh_arrays[4]),
         mat_type=mat_type, mat_tex=mat_tex, mat_fuzz=mat_fuzz, mat_ref=mat_ref,
         **tex_fields,
         perlin_ranvec=f(ranvec), perlin_perm=jnp.asarray(perm),
@@ -503,4 +530,5 @@ def compile_scene(objs: Sequence[ob.Hittable], sky: str = "black",
         has_rect_xform=bool(rects) and not all(
             np.allclose(xf.rot, np.eye(3)) and np.allclose(xf.trans, 0.0)
             for (_, xf, _, _) in rects),
+        has_bvh=has_bvh,
     )

@@ -1,0 +1,36 @@
+"""Test harness: force an 8-virtual-device CPU JAX so sharding/pjit paths
+are exercised without TPU hardware (SURVEY.md §4: multi-host behavior is
+tested with XLA_FLAGS=--xla_force_host_platform_device_count).
+
+The axon sitecustomize pins jax_platforms to "axon,cpu"; tests override to
+pure CPU before any backend is initialized.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_mesh():
+    assert jax.devices()[0].platform == "cpu"
+    assert len(jax.devices()) == 8
+
+
+@pytest.fixture
+def key():
+    return jax.random.key(0)
+
+
+def mc_keys(n=4):
+    return [jax.random.key(i) for i in range(n)]

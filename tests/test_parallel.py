@@ -1,0 +1,103 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: sharded render consistency,
+gradient all-reduce, training-step convergence (SURVEY §2.4/§5.8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scheme_raytrace_tpu import render as R
+from scheme_raytrace_tpu import scenes
+from scheme_raytrace_tpu.camera import make_camera
+from scheme_raytrace_tpu.config import RenderConfig
+from scheme_raytrace_tpu.parallel import make_mesh, render_sharded, train_step
+from scheme_raytrace_tpu.scene import build as sb
+from scheme_raytrace_tpu.scene import compile_scene, objects as ob
+
+CFG = RenderConfig(nx=16, ny=16, spp=2, max_depth=4)
+
+
+def _scene():
+    spec = scenes.test_scene()
+    return compile_scene(spec.objects, sky=spec.sky), spec.camera(aspect=1.0)
+
+
+def test_mesh_shapes():
+    assert make_mesh().devices.size == 8
+    assert make_mesh(4).devices.size == 4
+
+
+def test_sharded_render_shape_and_finite():
+    scene, cam = _scene()
+    mesh = make_mesh(8)
+    img = render_sharded(scene, cam, CFG, mesh)
+    assert img.shape == (16, 16, 3)
+    arr = np.asarray(img)
+    assert np.isfinite(arr).all() and (arr >= 0).all() and arr.max() > 0
+
+
+def test_sharded_deterministic():
+    scene, cam = _scene()
+    mesh = make_mesh(8)
+    a = np.asarray(render_sharded(scene, cam, CFG, mesh))
+    b = np.asarray(render_sharded(scene, cam, CFG, mesh))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_statistically_matches_unsharded():
+    # Different RNG streams per shard, so compare means at modest spp.
+    scene, cam = _scene()
+    cfg = CFG.replace(spp=8)
+    mesh = make_mesh(8)
+    img_sharded = np.asarray(render_sharded(scene, cam, cfg, mesh))
+    mean, _ = R.render_image(scene, cam, cfg)
+    img_ref = np.asarray(mean)
+    np.testing.assert_allclose(img_sharded.mean(), img_ref.mean(), rtol=0.05)
+
+
+def test_uneven_rows_rejected():
+    scene, cam = _scene()
+    mesh = make_mesh(8)
+    with pytest.raises(AssertionError):
+        render_sharded(scene, cam, CFG.replace(ny=12), mesh)
+
+
+def test_train_step_reduces_loss():
+    # Inverse rendering: start from a perturbed albedo, fit the target.
+    objs = [ob.Sphere((0, 0, -3), 2.0, ob.Lambertian((0.4, 0.5, 0.6)))]
+    cam = make_camera((0, 0, 0), (0, 0, -1), vfov=30.0, aspect=1.0)
+    cfg = RenderConfig(nx=8, ny=8, spp=1, max_depth=2)
+    mesh = make_mesh(8)
+
+    target_scene = compile_scene(objs, sky=(np.ones(3), np.ones(3)))
+    target = render_sharded(target_scene, cam, cfg, mesh)
+
+    start = compile_scene(
+        [ob.Sphere((0, 0, -3), 2.0, ob.Lambertian((0.8, 0.2, 0.3)))],
+        sky=(np.ones(3), np.ones(3)))
+    params, rest = sb.partition(start)
+
+    losses = []
+    for _ in range(4):
+        params, loss = train_step(params, rest, cam, cfg, target, mesh,
+                                  lr=0.5)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_psum_gradients_match_single_device():
+    # The all-reduced sharded gradient must equal the unsharded gradient of
+    # the same (deterministic per-mesh) loss — here we just check the
+    # 8-way sharded grads are finite and the loss is replicated-consistent.
+    objs = [ob.Sphere((0, 0, -3), 2.0, ob.Lambertian((0.4, 0.5, 0.6)))]
+    cam = make_camera((0, 0, 0), (0, 0, -1), vfov=30.0, aspect=1.0)
+    cfg = RenderConfig(nx=8, ny=8, spp=1, max_depth=2)
+    mesh = make_mesh(8)
+    scene = compile_scene(objs, sky=(np.ones(3), np.ones(3)))
+    target = jnp.zeros((8, 8, 3))
+    params, rest = sb.partition(scene)
+    new_params, loss = train_step(params, rest, cam, cfg, target, mesh)
+    assert np.isfinite(float(loss))
+    for name, leaf in new_params.items():
+        assert np.isfinite(np.asarray(leaf)).all(), name

@@ -1,0 +1,68 @@
+"""Scene library smoke tests: every reference scene (main.scm:155-426,
+SURVEY §2.3) compiles and renders finite, plausible output at thumbnail
+size.  These are the framework's A/B "golden-eye" harness, automated."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scheme_raytrace_tpu import render as R
+from scheme_raytrace_tpu import scenes
+from scheme_raytrace_tpu.config import RenderConfig
+from scheme_raytrace_tpu.scene import compile_scene
+
+CFG = RenderConfig(nx=16, ny=16, spp=1, max_depth=8)
+
+
+@pytest.mark.parametrize("name", sorted(scenes.SCENES))
+def test_scene_renders(name):
+    spec = scenes.SCENES[name]()
+    scene = compile_scene(spec.objects, sky=spec.sky, lights=spec.lights)
+    cam = spec.camera(aspect=1.0)
+    cfg = CFG
+    if name in ("klein", "cornell_klein"):      # fori march is slow on CPU
+        cfg = CFG.replace(nx=8, ny=8, max_depth=3)
+    mean, _ = R.render_image(scene, cam, cfg)
+    arr = np.asarray(mean)
+    assert np.isfinite(arr).all(), f"{name}: non-finite radiance"
+    assert (arr >= 0).all(), f"{name}: negative radiance"
+    assert arr.max() > 0.0, f"{name}: all-black render"
+
+
+def test_cornell_light_sampled_renders():
+    spec = scenes.cornell_box()
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    assert scene.n_lights == 1
+    cam = spec.camera(aspect=1.0)
+    mean, _ = R.render_image(scene, cam, CFG.replace(light_sampling=True))
+    arr = np.asarray(mean)
+    assert np.isfinite(arr).all() and arr.max() > 0.0
+
+
+def test_scene_structure_counts():
+    # cornell: 5 walls + light + 2 boxes (12 rects) = 18 rects
+    spec = scenes.cornell_box()
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    assert scene.rect_k.shape[0] == 18
+    assert scene.has_rect_xform            # rotated boxes
+    # grid: ground + 100 spheres
+    scene = compile_scene(scenes.test_scene_grid().objects, sky="gradient")
+    assert scene.sph_r.shape[0] == 101
+    # smoke: two media
+    scene = compile_scene(scenes.cornell_smoke().objects, sky="black")
+    assert scene.med_kind.shape[0] == 2 and scene.has_media
+    # random scene has moving spheres
+    scene = compile_scene(scenes.random_scene().objects, sky="gradient")
+    assert scene.has_moving
+
+
+def test_cornell_brighter_under_light():
+    # sanity: the cornell render is brighter near the ceiling light column
+    spec = scenes.cornell_box()
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    cam = spec.camera(aspect=1.0)
+    mean, _ = R.render_image(scene, cam,
+                             RenderConfig(nx=32, ny=32, spp=4, max_depth=8,
+                                          light_sampling=True))
+    arr = np.asarray(mean)
+    assert arr[16:, 8:24].mean() > arr[:8, 8:24].mean()
