@@ -15,6 +15,10 @@ def from_w(w):
     """Build (u, v, w) frames from unit normals w: [...,3] -> 3x [...,3].
 
     onb.scm:8-16: a = |w.x|>0.9 ? (0,1,0) : (1,0,0); v = unit(w x a); u = w x v.
+    The reference's u = w x v yields a LEFT-handed frame; we use u = v x w
+    (right-handed). Every consumer (cosine sampling, sphere solid-angle
+    sampling) is azimuthally symmetric around w, so the distributions are
+    identical — documented conscious fix.
     """
     w = vm.unit(w)
     pick_y = jnp.abs(w[..., 0]) > 0.9
@@ -22,7 +26,7 @@ def from_w(w):
                   jnp.array([0.0, 1.0, 0.0], dtype=w.dtype),
                   jnp.array([1.0, 0.0, 0.0], dtype=w.dtype))
     v = vm.unit(vm.cross(w, a))
-    u = vm.cross(w, v)
+    u = vm.cross(v, w)
     return u, v, w
 
 

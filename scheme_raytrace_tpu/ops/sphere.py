@@ -24,11 +24,13 @@ _PI = jnp.pi
 def sphere_uv(n_unit):
     """Canonical Shirley sphere UV from the outward unit normal (B1 fixed).
 
-    The clip stays strictly inside (-1, 1) so arcsin' is finite at the
-    poles — uv error is ~1e-6, invisible, and it keeps grads NaN-free.
+    theta via arctan2(y, sqrt(1-y^2)) instead of arcsin: exact at the poles
+    to ~1e-6 (arcsin needs a clip whose error blows up as 1/sqrt(1-y)), and
+    the 1e-12 floor under the sqrt keeps reverse-mode NaN-free there.
     """
+    y = n_unit[..., 1]
     phi = jnp.arctan2(n_unit[..., 2], n_unit[..., 0])
-    theta = jnp.arcsin(jnp.clip(n_unit[..., 1], -1.0 + 1e-6, 1.0 - 1e-6))
+    theta = jnp.arctan2(y, jnp.sqrt(jnp.maximum(1.0 - y * y, 1e-12)))
     u = 1.0 - (phi + _PI) / (2.0 * _PI)
     v = (theta + _PI / 2.0) / _PI
     return u, v

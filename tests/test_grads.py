@@ -102,9 +102,15 @@ def test_radius_gradient_matches_fd():
 
 
 def test_bezier_cp_gradient_finite_nonzero():
+    # The B11 normal convention (normal = -ray.dir, bezier.scm:211-213) makes
+    # a *constant*-albedo lambertian ribbon's radiance independent of the
+    # control points along every continuous path (the normal, hence the
+    # scatter distribution, never sees cp; only discrete hit/miss changes).
+    # A marble texture restores continuous dependence: albedo(p) with
+    # p = o + t(cp)*d.
     cp = np.array([[-1.0, 0.0, -2.0], [-0.3, 0.4, -2.0],
                    [0.3, 0.4, -2.0], [1.0, 0.0, -2.0]])
-    objs = [ob.Bezier(cp, 0.4, ob.Lambertian((0.5, 0.5, 0.5)))]
+    objs = [ob.Bezier(cp, 0.4, ob.Lambertian(ob.MarbleTexture(4.0)))]
     scene = compile_scene(objs, sky="gradient")
     cam = make_camera((0, 0, 0.5), (0, 0, -2), vfov=60.0, aspect=1.0)
     params, rest = sb.partition(scene)

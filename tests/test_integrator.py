@@ -94,15 +94,14 @@ def test_emission_front_face_only():
 
 
 def test_metal_mirror_deterministic():
-    # fuzz=0 mirror: L = albedo * sky(reflected).  45-deg plate at origin:
-    # incoming -z + normal +y... use a yz-wall and horizontal ray.
+    # fuzz=0 mirror: L = albedo * sky(reflected).  The xy-rect at z=-5 has
+    # normal +z, so reflection flips the z component and KEEPS y:
+    # (0,-1,-1)/sqrt(2) -> (0,-1,+1)/sqrt(2).
     albedo = (0.9, 0.8, 0.7)
     objs = [ob.xy_rect(-10, 10, -10, 10, -5, ob.Metal(albedo, 0.0))]
-    # ray going down-forward reflects up-forward; gradient sky at reflected
-    # y-component gives a known color.
     d_in = vm.unit(jnp.array([0.0, -1.0, -1.0]))
     L = _trace(objs, [[0, 0, 0]], [np.asarray(d_in)], sky="gradient")
-    d_refl = np.array([0.0, 1.0, -1.0]) / np.sqrt(2)
+    d_refl = np.array([0.0, -1.0, 1.0]) / np.sqrt(2)
     t = 0.5 * (d_refl[1] + 1)
     sky = (1 - t) * np.ones(3) + t * np.array([0.5, 0.7, 1.0])
     np.testing.assert_allclose(np.asarray(L[0]), np.asarray(albedo) * sky,

@@ -131,9 +131,11 @@ def test_translate_rect():
 
 def test_rotate_y_rect():
     # xy-rect at z=0 rotated 90 deg about +y becomes a yz-rect at x=0:
-    # a ray along -x must now hit it.
+    # a ray along -x must now hit it; a parallel ray offset to x=0.5 must
+    # miss.  (A ray lying exactly IN the rotated plane is measure-zero /
+    # undefined — 0/0 in the reference — so it is not asserted here.)
     sc = compile_scene([ob.RotateY(ob.xy_rect(-1, 1, -1, 1, 0, MAT), 90.0)])
-    o, d, t = rays(((3, 0, 0), (-1, 0, 0)), ((0, 0, 3), (0, 0, -1)))
+    o, d, t = rays(((3, 0, 0), (-1, 0, 0)), ((0.5, 0, 3), (0, 0, -1)))
     hit, tb, n, *_ = rect.intersect(o, d, t, sc, 1e-3, 1e9)
     assert bool(hit[0]) and not bool(hit[1])
     np.testing.assert_allclose(float(tb[0]), 3.0, rtol=1e-4)
@@ -249,21 +251,41 @@ def test_klein_de_outside_inversion_spheres():
 
 
 def test_klein_march_hits_limit_set():
+    # Ground truth from a sequential f64 transcription of the reference's
+    # dist-func + marching loop (geometry.scm:602-661): this ray converges
+    # onto the limit set at ray-length 81.8068 (the set extends well beyond
+    # the |p|=125 ball through the inversions at (0,0,+-424.26)).
     sc = compile_scene([ob.Klein((0, 2, 0), MAT)])
     o = jnp.array([[0.0, 2.0, 400.0]])
     d = jnp.array([[0.0, 0.0, -1.0]])
     t = jnp.zeros(1)
     hit, tb, n, *_ = klein.intersect(o, d, t, sc, 1e-3, 1e9)
     assert bool(hit[0])
-    # surface is within 125+eps of the center along this axis
-    assert 200.0 < float(tb[0]) < 400.0
+    np.testing.assert_allclose(float(tb[0]), 81.8068, rtol=1e-3)
     np.testing.assert_allclose(float(vm.length(n[0])), 1.0, atol=1e-4)
 
 
-def test_klein_miss_away():
+def test_klein_hits_inversion_cusp_behind():
+    # Marching in +z from (0,2,400) also hits the limit set: the cusp near
+    # the inversion-sphere center (0,0,424.26), at ray-length 24.2598
+    # (sequential-reference oracle). Not a miss — the set is unbounded-ish
+    # around the sphere tangency points.
     sc = compile_scene([ob.Klein((0, 2, 0), MAT)])
     o = jnp.array([[0.0, 2.0, 400.0]])
-    d = jnp.array([[0.0, 0.0, 1.0]])     # away from the fractal
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    t = jnp.zeros(1)
+    hit, tb, *_ = klein.intersect(o, d, t, sc, 1e-3, 1e9)
+    assert bool(hit[0])
+    np.testing.assert_allclose(float(tb[0]), 24.2598, rtol=1e-3)
+
+
+def test_klein_miss_negative_de_runaway():
+    # From (0,2,10) toward -z the oracle's march diverges (DE goes negative
+    # inside the set's complement pocket) and never satisfies dist<eps with
+    # a positive ray length -> miss after 100 steps.
+    sc = compile_scene([ob.Klein((0, 2, 0), MAT)])
+    o = jnp.array([[0.0, 2.0, 10.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]])
     t = jnp.zeros(1)
     hit, *_ = klein.intersect(o, d, t, sc, 1e-3, 1e9)
     assert not bool(hit[0])

@@ -26,7 +26,13 @@ def test_scene_renders(name):
     arr = np.asarray(mean)
     assert np.isfinite(arr).all(), f"{name}: non-finite radiance"
     assert (arr >= 0).all(), f"{name}: negative radiance"
-    assert arr.max() > 0.0, f"{name}: all-black render"
+    if name == "test":
+        # test-scene is black sky + zero emitters (main.scm:155-174): the
+        # only correct render is all black (in the reference it crashes
+        # outright on B3; our fixed protocol renders it, to black).
+        assert arr.max() == 0.0, f"{name}: expected all-black render"
+    else:
+        assert arr.max() > 0.0, f"{name}: all-black render"
 
 
 def test_cornell_light_sampled_renders():
@@ -56,13 +62,18 @@ def test_scene_structure_counts():
     assert scene.has_moving
 
 
-def test_cornell_brighter_under_light():
-    # sanity: the cornell render is brighter near the ceiling light column
+def test_cornell_light_is_brightest_and_on_ceiling():
+    # The emitter (emit 3,3,3 at k=554, main.scm:336) must be the brightest
+    # thing in frame and sit in the top half of the image (row 0 = bottom).
+    # (Half-frame *mean* comparisons are not an invariant here: the B12
+    # gradient sky through the open face lights the floor strongly.)
     spec = scenes.cornell_box()
     scene = compile_scene(spec.objects, sky=spec.sky)
     cam = spec.camera(aspect=1.0)
     mean, _ = R.render_image(scene, cam,
                              RenderConfig(nx=32, ny=32, spp=4, max_depth=8,
                                           light_sampling=True))
-    arr = np.asarray(mean)
-    assert arr[16:, 8:24].mean() > arr[:8, 8:24].mean()
+    lum = np.asarray(mean).mean(-1)
+    iy, ix = np.unravel_index(lum.argmax(), lum.shape)
+    assert iy >= 16, f"brightest pixel at row {iy}, expected ceiling half"
+    np.testing.assert_allclose(lum[iy, ix], 3.0, rtol=0.05)
