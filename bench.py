@@ -3,7 +3,7 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 "rays" counts traced path segments (camera rays + every bounce), measured
-exactly by the integrator's segment counter — not an estimate.
+exactly by the regeneration pool's segment counter — not an estimate.
 vs_baseline is against the driver's north-star 1e8 rays/s on a v5e-8,
 prorated to the number of chips actually used (1.25e7 rays/s/chip).
 
@@ -17,14 +17,10 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 
 from scheme_raytrace_tpu import scenes
 from scheme_raytrace_tpu import render as R
-from scheme_raytrace_tpu.camera import get_rays
 from scheme_raytrace_tpu.config import RenderConfig
-from scheme_raytrace_tpu.core import rng
-from scheme_raytrace_tpu.integrator.wavefront import trace_rays_full
 from scheme_raytrace_tpu.scene import compile_scene
 
 NORTH_STAR_PER_CHIP = 1e8 / 8  # BASELINE: >1e8 rays/s on a v5e-8 (8 chips)
@@ -32,9 +28,9 @@ NORTH_STAR_PER_CHIP = 1e8 / 8  # BASELINE: >1e8 rays/s on a v5e-8 (8 chips)
 
 def main():
     n_chips = jax.device_count()
-    is_tpu = jax.devices()[0].platform == "tpu"
+    is_tpu = jax.devices()[0].platform != "cpu"
     size = 512 if is_tpu else 64          # CPU fallback stays runnable
-    spp = 8 if is_tpu else 1
+    spp = 16 if is_tpu else 1
     config = RenderConfig(nx=size, ny=size, spp=spp, max_depth=100,
                           light_sampling=True, seed=0)
 
@@ -42,30 +38,18 @@ def main():
     scene = compile_scene(spec.objects, sky=spec.sky)
     cam = spec.camera(aspect=1.0)
 
-    # One instrumented pass: exact segment count (camera rays + bounces).
-    @jax.jit
-    def one_pass(scene, cam):
-        key = rng.root_key(config.seed)
-        k_jit, k_lens, k_trace = jax.random.split(key, 3)
-        u, v = R._pixel_uv(config, k_jit, jnp.float32)
-        o, d, t = get_rays(cam, u, v, k_lens)
-        st = trace_rays_full(scene, o, d, t, k_trace, config)
-        return st.radiance, st.segments
-
-    radiance, segments = one_pass(scene, cam)  # compile + measure
-    segments_per_pass = int(segments)
-
-    # Timed: the real multi-pass render (jitted scan over spp passes).
-    state = R.init_state(config)
-    st = R.render(scene, cam, config, state)   # warm-up/compile
+    # Warm-up / compile, then the timed run on a fresh accumulator.
+    st, seg, iters = R.render_with_stats(scene, cam, config,
+                                         R.init_state(config))
     jax.block_until_ready(st.raw_sum)
+
     t0 = time.perf_counter()
-    st = R.render(scene, cam, config, R.init_state(config))
+    st, seg, iters = R.render_with_stats(scene, cam, config,
+                                         R.init_state(config))
     jax.block_until_ready(st.raw_sum)
     dt = time.perf_counter() - t0
 
-    total_segments = segments_per_pass * config.spp
-    rays_per_s = total_segments / dt
+    rays_per_s = int(seg) / dt
     print(json.dumps({
         "metric": "rays/s (path segments, Cornell 512x512 light-sampled)"
                   if is_tpu else "rays/s (path segments, Cornell 64x64, CPU fallback)",

@@ -65,19 +65,27 @@ def _basis(cam: Camera):
     return origin, lower_left, horizontal, vertical, u, v, w
 
 
-def get_rays(cam: Camera, s, t, key):
+def get_rays_u(cam: Camera, s, t, lens_r1, lens_r2, time_xi):
     """Batched camera.scm:80-92 — (s, t) in [0,1]^2, one ray per element.
 
-    Returns (origin[N,3], unit dir[N,3], time[N]).
+    (lens_r1, lens_r2) drive the defocus-disk draw, time_xi the shutter
+    time — explicit uniforms so the regeneration pool / Pallas paths can
+    use counter-hash streams.  Returns (origin[N,3], unit dir[N,3], time[N]).
     """
     origin, lower_left, horizontal, vertical, u, v, _ = _basis(cam)
-    k_lens, k_time = jax.random.split(key)
     lens_radius = cam.aperture / 2.0
-    rd = lens_radius * sampling.in_unit_disk(k_lens, s.shape, s.dtype)
+    rd = lens_radius * sampling.in_unit_disk_u(lens_r1, lens_r2)
     offset = rd[..., 0:1] * u + rd[..., 1:2] * v
-    time = cam.time0 + jax.random.uniform(k_time, s.shape, s.dtype) * (
-        cam.time1 - cam.time0)
+    time = cam.time0 + time_xi * (cam.time1 - cam.time0)
     o = origin + offset
     d = (lower_left + s[..., None] * horizontal + t[..., None] * vertical
          - origin - offset)
     return o, vm.unit(d), time
+
+
+def get_rays(cam: Camera, s, t, key):
+    """Key-based get_rays_u (the per-pass differentiable-path stream)."""
+    k_lens, k_time = jax.random.split(key)
+    r = jax.random.uniform(k_lens, s.shape + (2,), s.dtype)
+    time_xi = jax.random.uniform(k_time, s.shape, s.dtype)
+    return get_rays_u(cam, s, t, r[..., 0], r[..., 1], time_xi)

@@ -52,11 +52,14 @@ class RenderConfig:
     traversal: str = "brute"
     # Differentiable path uses a fixed-length scan instead of while_loop.
     differentiable: bool = False
-    # Precision of the compute path ("f32" on TPU; "f64" for the CPU oracle).
+    # Regeneration-pool size for the fast forward path (integrator/pool.py):
+    # lanes in flight at once; terminated lanes immediately pick up the next
+    # (pixel, sample) work item so occupancy stays ~100%.  Multiple of 8*128
+    # for clean TPU tiling.
+    pool_rays: int = 128 * 1024
+    # Precision of the compute path ("f32" on TPU; "f64" for the CPU oracle —
+    # requires jax_enable_x64, enforced by `jnp_dtype`).
     dtype: str = "f32"
-    # Ray-pool tile size: rays are traced in chunks of this many to bound
-    # memory; must be a multiple of 8*128 for clean TPU tiling.
-    tile_rays: int = 128 * 1024
     # Bezier intersection: number of seed samples along the curve parameter
     # and Newton refinement steps (ops/bezier.py).
     bezier_seeds: int = 32
@@ -68,3 +71,16 @@ class RenderConfig:
     @property
     def n_pixels(self) -> int:
         return self.nx * self.ny
+
+    @property
+    def jnp_dtype(self):
+        """Compute dtype; fails loudly if f64 is requested without x64."""
+        import jax
+        import jax.numpy as jnp
+        if self.dtype == "f64":
+            if not jax.config.read("jax_enable_x64"):
+                raise RuntimeError(
+                    "dtype='f64' requires x64 (jax.config.update"
+                    "('jax_enable_x64', True) or jax.experimental.enable_x64)")
+            return jnp.float64
+        return jnp.float32

@@ -31,6 +31,72 @@ def root_key(seed: int):
     return jax.random.key(seed)
 
 
+# ---------------------------------------------------------------------------
+# Counter-based PCG4D hash RNG (the wavefront-pool / Pallas-kernel stream)
+# ---------------------------------------------------------------------------
+# The regeneration pool retires and re-issues rays at data-dependent loop
+# iterations, so draws must be keyed by *what* is being sampled — the
+# (seed, work-item, depth, site) counter — never by *when* (the iteration
+# index), or resume/sharding would change the image.  threefry fold_in per
+# lane per bounce costs ~10x more VPU ops than one PCG4D round; PCG4D's
+# statistical quality is ample for Monte Carlo integration (Jarzynski &
+# Olano, "Hash Functions for GPU Rendering", JCGT 2020 — public technique).
+# The same integer recurrence is reimplemented inside the Pallas megakernel
+# so kernel output is comparable against this path.
+
+_PCG_MULT = jnp.uint32(1664525)
+_PCG_ADD = jnp.uint32(1013904223)
+_INV_2_24 = 1.0 / float(1 << 24)
+
+
+def _pcg4d(a, b, c, d):
+    """One PCG4D round: 4 uint32 counters -> 4 decorrelated uint32."""
+    a = a * _PCG_MULT + _PCG_ADD
+    b = b * _PCG_MULT + _PCG_ADD
+    c = c * _PCG_MULT + _PCG_ADD
+    d = d * _PCG_MULT + _PCG_ADD
+    a = a + b * d; b = b + c * a; c = c + a * b; d = d + b * c
+    a = a ^ (a >> 16); b = b ^ (b >> 16)
+    c = c ^ (c >> 16); d = d ^ (d >> 16)
+    a = a + b * d; b = b + c * a; c = c + a * b; d = d + b * c
+    return a, b, c, d
+
+
+def _to_unit(bits, dtype):
+    """uint32 -> [0, 1) float using the top 24 bits."""
+    return (bits >> jnp.uint32(8)).astype(dtype) * jnp.asarray(_INV_2_24, dtype)
+
+
+def hash_uniforms(seed, item, depth, ncols: int, dtype=jnp.float32,
+                  group_base: int = 0):
+    """[N, ncols] uniforms keyed by (seed, item, depth, column-group).
+
+    seed: python int; item: [N] int32 absolute work-item ids; depth: scalar
+    or [N] bounce index (use CAMERA_DEPTH for ray-generation draws).
+    `group_base` offsets the column-group counter so distinct call sites at
+    the same (item, depth) draw independent streams.  Deterministic per
+    (seed, item, depth, group_base + col) — iteration- and shard-invariant,
+    so pool renders are resumable bit-for-bit.
+    """
+    item = item.astype(jnp.uint32)
+    depth = jnp.asarray(depth).astype(jnp.uint32)
+    depth = jnp.broadcast_to(depth, item.shape)
+    seed_u = jnp.uint32(seed & 0xFFFFFFFF)
+    cols = []
+    for g in range((ncols + 3) // 4):
+        out = _pcg4d(item, depth,
+                     jnp.full_like(item, jnp.uint32(group_base + g)),
+                     jnp.broadcast_to(seed_u, item.shape))
+        cols.extend(out)
+    return jnp.stack([_to_unit(c, dtype) for c in cols[:ncols]], axis=-1)
+
+
+CAMERA_DEPTH = 0xFFFF     # `depth` tag for camera-ray generation draws
+GROUP_SHADE = 0           # column groups 0..3: the shade() uniform matrix
+GROUP_MEDIUM = 8          # column groups 8+: per-medium scatter distances
+GROUP_RR = 0x80           # russian-roulette continuation draw
+
+
 def bounce_key(key, bounce, site: int):
     """Key for one call site within one bounce (vector draws index rays)."""
     return jax.random.fold_in(jax.random.fold_in(key, bounce), site)

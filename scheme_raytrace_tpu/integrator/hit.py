@@ -39,15 +39,25 @@ def _merge(best, cand):
             jnp.where(closer, cv, bv))
 
 
-def scene_hit(o, d, time, scene, t_min, t_max, key, config) -> HitRec:
-    """Closest hit over all groups; o/d [N,3], d unit; t_max scalar."""
+def scene_hit(o, d, time, scene, t_min, t_max, xi_medium, config) -> HitRec:
+    """Closest hit over all groups; o/d [N,3], d unit; t_max scalar.
+
+    xi_medium: [N, n_media] uniforms for exponential scatter distances
+    (None allowed when the scene has no constant media).
+    """
     n = o.shape[0]
     dt = o.dtype
     best = (jnp.zeros(n, bool), jnp.full(n, t_max, dt), jnp.zeros((n, 3), dt),
             jnp.zeros(n, jnp.int32), jnp.zeros(n, dt), jnp.zeros(n, dt))
 
     if scene.has_spheres:
-        best = _merge(best, sphere.intersect(o, d, time, scene, t_min, t_max))
+        # Flat threaded BVH (geometry.scm:217-374) when compiled into the
+        # scene and selected; the stackless while_loop traversal is
+        # forward-only, so the differentiable path keeps the brute sweep.
+        use_bvh = (config.traversal == "bvh" and scene.has_bvh
+                   and not config.differentiable)
+        isect = sphere.intersect_bvh if use_bvh else sphere.intersect
+        best = _merge(best, isect(o, d, time, scene, t_min, t_max))
     if scene.has_rects:
         best = _merge(best, rect.intersect(o, d, time, scene, t_min, t_max))
     if scene.has_beziers:
@@ -61,8 +71,16 @@ def scene_hit(o, d, time, scene, t_min, t_max, key, config) -> HitRec:
         hit0, t0 = best[0], best[1]
         t_clip = jnp.where(hit0, t0, t_max)
         best = _merge(best, medium.intersect(o, d, time, scene, t_min,
-                                             t_clip, key))
+                                             t_clip, xi_medium))
 
     hit, t, normal, mat, u, v = best
-    p = o + t[:, None] * d
+    # Sanitize miss lanes: downstream shading runs masked over the whole
+    # batch, and garbage here turns into NaN gradients even though the lanes
+    # are selected away (zero-cotangent * inf/NaN = NaN in reverse-mode).
+    #   p = o (not o + t_max*d ~ 1e12, which overflows f32 light-PDF math);
+    #   normal = +y (not the zero vector, which NaNs onb.from_w and poisons
+    #   shared scalars like the light-rect area through masked VJPs).
+    p = jnp.where(hit[:, None], o + t[:, None] * d, o)
+    normal = jnp.where(hit[:, None], normal,
+                       jnp.array([0.0, 1.0, 0.0], normal.dtype))
     return HitRec(hit, t, p, normal, mat, u, v)

@@ -29,11 +29,16 @@ def cosine_value(n, direction):
     return jnp.maximum(cosine, 0.0) / _PI
 
 
-def cosine_sample(key, n):
+def cosine_sample_u(r1, r2, n):
     """pdf.scm:24-26 — cosine-weighted direction about n (B4 fixed)."""
     u, v, w = onb.from_w(n)
-    local_dir = sampling.cosine_direction(key, n.shape[:-1], n.dtype)
+    local_dir = sampling.cosine_direction_u(r1, r2)
     return vm.unit(onb.local(u, v, w, local_dir))
+
+
+def cosine_sample(key, n):
+    r = jax.random.uniform(key, n.shape[:-1] + (2,), n.dtype)
+    return cosine_sample_u(r[..., 0], r[..., 1], n)
 
 
 def _rect_value_one(rect, origin, direction):
@@ -44,15 +49,24 @@ def _rect_value_one(rect, origin, direction):
     """
     x0, x1, z0, z1, k = (rect[i] for i in range(5))
     dy = direction[..., 1]
-    t = (k - origin[..., 1]) / dy
-    px = origin[..., 0] + t * direction[..., 0]
-    pz = origin[..., 2] + t * direction[..., 2]
-    inside = (t > 1e-3) & (px >= x0) & (px <= x1) & (pz >= z0) & (pz <= z1)
+    # Full double-where hygiene: this runs for EVERY lane, including rays
+    # that missed everything (p ~ t_max*d ~ 1e12) — there t_raw^2 overflows
+    # f32 to inf and the division VJP emits -inf/denom^2 * 0 = NaN into the
+    # rect parameters (round-1 failing NaN-hygiene test).  Every value that
+    # reaches an arithmetic VJP is therefore re-selected to a benign constant
+    # on masked lanes before use.
+    dy_ok = jnp.abs(dy) > 1e-9
+    t_raw = (k - origin[..., 1]) / jnp.where(dy_ok, dy, 1.0)
+    px = origin[..., 0] + t_raw * direction[..., 0]
+    pz = origin[..., 2] + t_raw * direction[..., 2]
+    inside = (dy_ok & (t_raw > 1e-3) & (t_raw < 1e8) & (px >= x0)
+              & (px <= x1) & (pz >= z0) & (pz <= z1))
+    t = jnp.where(inside, t_raw, 1.0)
     area = (x1 - x0) * (z1 - z0)
     dist_sq = t * t                      # |direction| == 1
     cosine = jnp.abs(dy)
-    val = dist_sq / jnp.maximum(cosine * area, 1e-12)
-    return jnp.where(inside, val, 0.0)
+    denom = jnp.where(inside, jnp.maximum(cosine * area, 1e-12), 1.0)
+    return jnp.where(inside, dist_sq / denom, 0.0)
 
 
 def _sphere_value_one(center, radius, origin, direction):
@@ -62,12 +76,16 @@ def _sphere_value_one(center, radius, origin, direction):
     """
     oc = center - origin
     dist_sq = vm.sq_len(oc)
+    outside = dist_sq > radius * radius
     ratio = jnp.clip(radius * radius / jnp.maximum(dist_sq, 1e-12), 0.0, 1.0)
-    cos_theta_max = jnp.sqrt(1.0 - ratio)
+    # double-where: on inside-the-sphere lanes (incl. padded invalid light
+    # rows) 1-ratio hits 0 and sqrt' blows up in reverse-mode -> NaN in
+    # light_center/light_radius grads (round-1 failing NaN-hygiene test)
+    cos_theta_max = jnp.sqrt(jnp.where(outside, 1.0 - ratio, 1.0))
     solid_angle = 2.0 * _PI * (1.0 - cos_theta_max)
     # direction must intersect the sphere: cos(angle to center) >= cos_theta_max
     cos_dir = vm.dot(vm.unit(direction), vm.unit(oc))
-    hitting = (dist_sq > radius * radius) & (cos_dir >= cos_theta_max)
+    hitting = outside & (cos_dir >= cos_theta_max)
     return jnp.where(hitting, 1.0 / jnp.maximum(solid_angle, 1e-12), 0.0)
 
 
@@ -83,20 +101,26 @@ def lights_value(scene, origin, direction):
     return sum(vals) / scene.n_lights
 
 
-def lights_sample(key, scene, origin):
-    """Sample a direction toward one uniformly-chosen light (unit vector)."""
-    k_pick, k_rect, k_sph = jax.random.split(key, 3)
+def lights_sample_u(r_pick, r_a, r_b, r_s1, r_s2, scene, origin):
+    """Sample a direction toward one uniformly-chosen light (unit vector).
+
+    r_pick selects the light; (r_a, r_b) parameterize the rect point;
+    (r_s1, r_s2) drive the sphere solid-angle draw.
+    """
     n = origin.shape[0]
-    pick = jax.random.randint(k_pick, (n,), 0, scene.n_lights)
+    pick = jnp.minimum((r_pick * scene.n_lights).astype(jnp.int32),
+                       scene.n_lights - 1)
 
     kind = scene.light_kind[pick]
     rect = scene.light_rect[pick]                       # [N,5]
     # rect sample: uniform point on the rect (RTROYL `random` for xz-rect)
-    uv = jax.random.uniform(k_rect, (n, 2), origin.dtype)
-    px = rect[:, 0] + uv[:, 0] * (rect[:, 1] - rect[:, 0])
-    pz = rect[:, 2] + uv[:, 1] * (rect[:, 3] - rect[:, 2])
+    px = rect[:, 0] + r_a * (rect[:, 1] - rect[:, 0])
+    pz = rect[:, 2] + r_b * (rect[:, 3] - rect[:, 2])
     target = jnp.stack([px, rect[:, 4], pz], axis=-1)
-    rect_dir = vm.unit(target - origin)
+    # eps guard: shade() evaluates this for every lane, including rays that
+    # hit the light itself (masked later) — there target-origin can vanish
+    # and an unguarded unit() NaNs reverse-mode via 0-cotangent * inf
+    rect_dir = vm.unit(target - origin, eps=1e-6)
 
     # sphere sample: random-to-sphere (util.scm:46-54) in an ONB toward center
     center = scene.light_center[pick]
@@ -104,21 +128,33 @@ def lights_sample(key, scene, origin):
     oc = center - origin
     dist_sq = jnp.maximum(vm.sq_len(oc), 1e-12)
     u, v, w = onb.from_w(oc)
-    local_dir = sampling.to_sphere(k_sph, radius, dist_sq, (n,), origin.dtype)
+    local_dir = sampling.to_sphere_u(r_s1, r_s2, radius, dist_sq)
     sph_dir = vm.unit(onb.local(u, v, w, local_dir))
 
     return vm.where3(kind == sb.LIGHT_XZ_RECT, rect_dir, sph_dir)
 
 
-def mixture_sample_and_value(key, scene, n, p):
+def lights_sample(key, scene, origin):
+    r = jax.random.uniform(key, (origin.shape[0], 5), origin.dtype)
+    return lights_sample_u(r[:, 0], r[:, 1], r[:, 2], r[:, 3], r[:, 4],
+                           scene, origin)
+
+
+def mixture_sample_and_value_u(u, scene, n, p):
     """make-mixture-pdf (pdf.scm:34-41): 50/50 cosine-about-n / lights.
 
+    u: [N, >=8] uniform matrix (shade.py column layout: cols 0-7).
     Returns (direction [N,3] unit, pdf_value [N]).
     """
-    k_pick, k_cos, k_light = jax.random.split(key, 3)
-    use_light = jax.random.uniform(k_pick, (n.shape[0],), n.dtype) < 0.5
-    d_cos = cosine_sample(k_cos, n)
-    d_light = lights_sample(k_light, scene, p)
+    use_light = u[:, 2] < 0.5
+    d_cos = cosine_sample_u(u[:, 0], u[:, 1], n)
+    d_light = lights_sample_u(u[:, 3], u[:, 4], u[:, 5], u[:, 6], u[:, 7],
+                              scene, p)
     direction = vm.where3(use_light, d_light, d_cos)
     pdf = 0.5 * cosine_value(n, direction) + 0.5 * lights_value(scene, p, direction)
     return direction, pdf
+
+
+def mixture_sample_and_value(key, scene, n, p):
+    u = jax.random.uniform(key, (n.shape[0], 8), n.dtype)
+    return mixture_sample_and_value_u(u, scene, n, p)

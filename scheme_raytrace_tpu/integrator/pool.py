@@ -1,0 +1,154 @@
+"""Regeneration-pool wavefront: the occupancy-preserving fast forward path.
+
+The plain wavefront (wavefront.py) traces one full-frame pass at a time and
+iterates until EVERY ray has terminated — in a Cornell box most rays die
+within a few bounces, so late iterations run a nearly-empty pool and the
+chip idles (round-1 bench: 19% of target).  Here the pool holds a fixed
+M rays; the moment a ray terminates its radiance is scatter-added into the
+framebuffer and the lane is immediately re-issued the next (pixel, sample)
+work item, so occupancy stays ~100% until the whole frame's work drains.
+This is the persistent-threads/wavefront formulation of the reference's
+scanline loops (main.scm:452-491) — same estimator, no idle lanes.
+
+Randomness is the counter hash (core/rng.hash_uniforms) keyed by the
+ABSOLUTE work item (sample_count offset included), bounce depth, and call
+site — never by pool-iteration index — so renders are deterministic,
+resumable mid-frame, and shard-order-invariant.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import config as cfg
+from ..camera import get_rays_u
+from ..core import rng
+from ..core import vecmath as vm
+from . import shade
+from .hit import scene_hit
+
+
+class PoolState(NamedTuple):
+    o: jnp.ndarray           # [M,3]
+    d: jnp.ndarray           # [M,3] unit
+    time: jnp.ndarray        # [M]
+    radiance: jnp.ndarray    # [M,3] accumulated along the current path
+    throughput: jnp.ndarray  # [M,3]
+    item: jnp.ndarray        # [M] i32 local work-item id (pass-major)
+    depth: jnp.ndarray       # [M] i32 bounces completed on this path
+    alive: jnp.ndarray       # [M] bool
+    next_w: jnp.ndarray      # scalar i32 — next local work item to issue
+    raw: jnp.ndarray         # [n_pixels,3] framebuffer radiance sums
+    segments: jnp.ndarray    # scalar i32 — total path segments traced
+    iters: jnp.ndarray       # scalar i32 — pool iterations (occupancy stat)
+
+
+def _sky(scene, d):
+    t = 0.5 * (vm.unit(d)[..., 1] + 1.0)
+    return (1.0 - t)[..., None] * scene.sky_a + t[..., None] * scene.sky_b
+
+
+def _camera_rays(cam, config, item, base, dtype):
+    """Generate camera rays for local work items (absolute = base + item)."""
+    abs_item = base + item
+    u = rng.hash_uniforms(config.seed, abs_item, rng.CAMERA_DEPTH, 5, dtype)
+    pix = item % config.n_pixels
+    ys, xs = jnp.divmod(pix, config.nx)
+    s = (xs.astype(dtype) + u[:, 0]) / config.nx      # main.scm:456-457
+    t = (ys.astype(dtype) + u[:, 1]) / config.ny
+    return get_rays_u(cam, s, t, u[:, 2], u[:, 3], u[:, 4])
+
+
+def render_pool(scene, cam, config, raw0, sample_base):
+    """Trace config.spp full-frame passes into raw0 via the regeneration pool.
+
+    raw0: [ny*nx, 3] running radiance sums (flattened); sample_base: passes
+    already in raw0 (offsets the absolute work-item ids so resumed renders
+    draw fresh, reproducible randomness).  Returns (raw, segments, iters).
+    """
+    n_pix = config.n_pixels
+    n_work = n_pix * config.spp
+    m = min(config.pool_rays, n_work)
+    dtype = raw0.dtype
+    base = sample_base * n_pix
+
+    item0 = jnp.arange(m, dtype=jnp.int32)
+    o0, d0, time0 = _camera_rays(cam, config, item0, base, dtype)
+    state = PoolState(
+        o=o0, d=d0, time=time0,
+        radiance=jnp.zeros((m, 3), dtype),
+        throughput=jnp.ones((m, 3), dtype),
+        item=item0,
+        depth=jnp.zeros(m, jnp.int32),
+        alive=jnp.ones(m, bool),
+        next_w=jnp.asarray(m, jnp.int32),
+        raw=raw0,
+        segments=jnp.zeros((), jnp.int32),
+        iters=jnp.zeros((), jnp.int32),
+    )
+
+    def body(st: PoolState) -> PoolState:
+        abs_item = base + st.item
+        xi_med = (rng.hash_uniforms(config.seed, abs_item, st.depth,
+                                    scene.med_kind.shape[0], dtype,
+                                    group_base=rng.GROUP_MEDIUM)
+                  if scene.has_media else None)
+        u_shade = rng.hash_uniforms(config.seed, abs_item, st.depth,
+                                    shade.N_U, dtype)
+
+        rec = scene_hit(st.o, st.d, st.time, scene,
+                        cfg.SHADOW_EPS, cfg.BIG, xi_med, config)
+        missed = st.alive & ~rec.hit
+        radiance = st.radiance + jnp.where(
+            missed[:, None], st.throughput * _sky(scene, st.d), 0.0)
+
+        sc = shade.shade(u_shade, scene, config, st.d, rec)
+        hit_live = st.alive & rec.hit
+        radiance = radiance + jnp.where(hit_live[:, None],
+                                        st.throughput * sc.emitted, 0.0)
+
+        scattering = hit_live & sc.alive & (st.depth < config.max_depth)
+        throughput = jnp.where(scattering[:, None],
+                               st.throughput * sc.mult, st.throughput)
+        if config.russian_roulette:
+            u_rr = rng.hash_uniforms(config.seed, abs_item, st.depth, 1,
+                                     dtype, group_base=rng.GROUP_RR)[:, 0]
+            p_cont = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            do_rr = scattering & (st.depth >= config.rr_start_depth)
+            scattering = scattering & (~do_rr | (u_rr < p_cont))
+            throughput = jnp.where(do_rr[:, None],
+                                   throughput / jnp.maximum(p_cont, 0.05)[:, None],
+                                   throughput)
+
+        # --- flush finished paths into the framebuffer ---------------------
+        terminated = st.alive & ~scattering
+        pix = st.item % n_pix
+        raw = st.raw.at[pix].add(
+            jnp.where(terminated[:, None], radiance, 0.0))
+
+        # --- re-issue freed lanes the next work items ----------------------
+        t_i32 = terminated.astype(jnp.int32)
+        new_local = st.next_w + jnp.cumsum(t_i32) - t_i32   # exclusive rank
+        has_work = terminated & (new_local < n_work)
+        item = jnp.where(has_work, new_local, st.item)
+        o_new, d_new, time_new = _camera_rays(cam, config, item, base, dtype)
+
+        o = vm.where3(scattering, rec.p, vm.where3(has_work, o_new, st.o))
+        d = vm.where3(scattering, sc.direction,
+                      vm.where3(has_work, d_new, st.d))
+        time = jnp.where(has_work, time_new, st.time)
+        radiance = jnp.where(terminated[:, None], 0.0, radiance)
+        throughput = jnp.where(has_work[:, None], 1.0, throughput)
+        depth = jnp.where(scattering, st.depth + 1,
+                          jnp.where(has_work, 0, st.depth))
+        alive = scattering | has_work
+        next_w = jnp.minimum(st.next_w + jnp.sum(t_i32), n_work)
+        segments = st.segments + jnp.sum(st.alive).astype(jnp.int32)
+        return PoolState(o, d, time, radiance, throughput, item, depth,
+                         alive, next_w, raw, segments, st.iters + 1)
+
+    state = jax.lax.while_loop(lambda s: jnp.any(s.alive), body, state)
+    return state.raw, state.segments, state.iters

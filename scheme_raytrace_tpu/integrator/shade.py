@@ -11,6 +11,12 @@ documented B3 fix that makes the RTOW-final config renderable.
 All branches are computed masked and select-combined: materials are a few
 VPU ops each, far cheaper than sorting/compacting by type at these scene
 sizes (EP-style material sorting is a later optimization, SURVEY §2.4).
+
+Randomness arrives as an explicit [N, N_U] uniform matrix (column layout
+below) so the caller chooses the stream: jax.random keyed per
+(pass, bounce) on the differentiable path, or the counter hash
+(core/rng.hash_uniforms) keyed per (work-item, bounce) on the regeneration
+pool / Pallas paths, where draws must not depend on loop-iteration timing.
 """
 
 from __future__ import annotations
@@ -21,10 +27,20 @@ import jax
 import jax.numpy as jnp
 
 from ..core import vecmath as vm
-from ..core import rng
-from ..ops import onb, sampling, texture
+from ..ops import sampling, texture
 from ..scene import objects as ob
 from . import pdfs
+
+# --- uniform-matrix column layout -------------------------------------------
+U_COS_R1, U_COS_R2 = 0, 1             # lambertian cosine draw
+U_MIX_PICK = 2                         # mixture cosine-vs-light pick
+U_LIGHT_PICK = 3                       # which light
+U_RECT_A, U_RECT_B = 4, 5              # rect light point
+U_SPH_R1, U_SPH_R2 = 6, 7              # sphere solid-angle draw
+U_DIEL = 8                             # dielectric reflect/refract branch
+U_BALL_R1, U_BALL_R2, U_BALL_R3 = 9, 10, 11   # unit-ball draw (fuzz/isotropic
+                                               # — exclusive per material, shared)
+N_U = 12
 
 
 class Scatter(NamedTuple):
@@ -34,18 +50,16 @@ class Scatter(NamedTuple):
     emitted: jnp.ndarray     # [N,3]
 
 
-def shade(key, scene, config, d, rec):
+def shade(u, scene, config, d, rec):
     """One bounce of material evaluation for rays d hitting at `rec`.
 
-    d: [N,3] unit incoming directions; rec: HitRec.  Valid only where
-    rec.hit — caller masks with the alive set.
+    u: [N, N_U] uniform draws; d: [N,3] unit incoming directions;
+    rec: HitRec.  Valid only where rec.hit — caller masks with the alive set.
     """
     n_rays = d.shape[0]
     mtype = scene.mat_type[rec.mat]
     albedo = texture.value(scene, scene.mat_tex[rec.mat], rec.u, rec.v, rec.p)
     normal = rec.normal
-
-    k_scatter, k_diel, k_fuzz, k_mix = jax.random.split(key, 4)
 
     # --- emission (material.scm:103-111): front face only -----------------
     is_light = mtype == ob.MAT_DIFFUSE_LIGHT
@@ -57,24 +71,27 @@ def shade(key, scene, config, d, rec):
     # cosine importance sampling => attenuation * s_pdf/pdf == attenuation;
     # with light-sampling the mixture pdf splits them (main.scm:113-118).
     if config.light_sampling and scene.n_lights > 0:
-        lam_dir, pdf = pdfs.mixture_sample_and_value(k_mix, scene, normal,
-                                                     rec.p)
+        lam_dir, pdf = pdfs.mixture_sample_and_value_u(u, scene, normal,
+                                                       rec.p)
         s_pdf = pdfs.cosine_value(normal, lam_dir)     # material.scm:33-36
         ratio = s_pdf / jnp.maximum(pdf, 1e-12)
         lam_mult = albedo * ratio[:, None]
         lam_ok = pdf > 0.0
     else:
-        lam_dir = pdfs.cosine_sample(k_scatter, normal)
+        lam_dir = pdfs.cosine_sample_u(u[:, U_COS_R1], u[:, U_COS_R2], normal)
         lam_mult = albedo
         lam_ok = jnp.ones(n_rays, bool)
 
+    # --- unit-ball draw (metal fuzz / isotropic phase — exclusive) ---------
+    ball = sampling.in_unit_sphere_u(u[:, U_BALL_R1], u[:, U_BALL_R2],
+                                     u[:, U_BALL_R3])
+
     # --- isotropic phase (geometry.scm:546 commented alternative) ----------
-    iso_dir = vm.unit(sampling.in_unit_sphere(k_scatter, (n_rays,), d.dtype))
+    iso_dir = vm.unit(ball, eps=1e-12)
 
     # --- metal (material.scm:45-57) ----------------------------------------
     refl = vm.reflect(d, normal)
-    fuzzed = refl + scene.mat_fuzz[rec.mat][:, None] * sampling.in_unit_sphere(
-        k_fuzz, (n_rays,), d.dtype)
+    fuzzed = refl + scene.mat_fuzz[rec.mat][:, None] * ball
     metal_ok = vm.dot(fuzzed, normal) > 0.0
     metal_dir = vm.unit(fuzzed, eps=1e-12)
 
@@ -87,7 +104,7 @@ def shade(key, scene, config, d, rec):
     cosine = jnp.where(exiting, dd * ref_idx, -dd)     # |d| == 1
     refr_ok, refracted = vm.refract(d, outward_n, ni_over_nt)
     reflect_prob = jnp.where(refr_ok, vm.schlick(cosine, ref_idx), 1.0)
-    take_refl = jax.random.uniform(k_diel, (n_rays,), d.dtype) < reflect_prob
+    take_refl = u[:, U_DIEL] < reflect_prob
     diel_dir = vm.unit(vm.where3(take_refl, refl, refracted), eps=1e-12)
 
     # --- combine ------------------------------------------------------------
@@ -103,3 +120,8 @@ def shade(key, scene, config, d, rec):
                      jnp.where(is_lam[:, None], lam_mult, albedo))
     alive = ((is_lam & lam_ok) | (is_metal & metal_ok) | is_diel | is_iso)
     return Scatter(alive, direction, mult, emitted)
+
+
+def shade_uniforms(key, n_rays, dtype):
+    """Key-derived [N, N_U] uniform matrix (differentiable-path stream)."""
+    return jax.random.uniform(key, (n_rays, N_U), dtype)

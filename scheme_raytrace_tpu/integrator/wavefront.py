@@ -51,17 +51,22 @@ def sky_color(scene, d):
 
 def _bounce(state: RayState, scene, config, key) -> RayState:
     """Advance every live ray one bounce."""
+    n = state.o.shape[0]
+    dtype = state.o.dtype
     k_hit = rng.bounce_key(key, state.depth, rng.SITE_MEDIUM)
     k_shade = rng.bounce_key(key, state.depth, rng.SITE_SCATTER)
+    xi_med = (jax.random.uniform(k_hit, (n, scene.med_kind.shape[0]), dtype)
+              if scene.has_media else None)
+    u_shade = shade.shade_uniforms(k_shade, n, dtype)
 
     rec = scene_hit(state.o, state.d, state.time, scene,
-                    cfg.SHADOW_EPS, cfg.BIG, k_hit, config)
+                    cfg.SHADOW_EPS, cfg.BIG, xi_med, config)
 
     missed = state.alive & ~rec.hit
     radiance = state.radiance + jnp.where(
         missed[:, None], state.throughput * sky_color(scene, state.d), 0.0)
 
-    sc = shade.shade(k_shade, scene, config, state.d, rec)
+    sc = shade.shade(u_shade, scene, config, state.d, rec)
     hit_live = state.alive & rec.hit
     radiance = radiance + jnp.where(hit_live[:, None],
                                     state.throughput * sc.emitted, 0.0)

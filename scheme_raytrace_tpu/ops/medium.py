@@ -31,10 +31,12 @@ from ..core import vecmath as vm
 from ..scene import build as sb
 
 
-def intersect(o, d, time, scene, t_min, t_max, key):
+def intersect(o, d, time, scene, t_min, t_max, xi):
     """Scatter events inside media, clipped to per-ray t_max [N].
 
-    Returns (hit [N], t [N], normal [N,3], mat [N], u [N], v [N]).
+    xi: [N, n_media] uniform draws in [0,1) (exponential distance sampling;
+    provided by the caller so the pool/Pallas paths can use counter-hash
+    streams).  Returns (hit [N], t [N], normal [N,3], mat [N], u [N], v [N]).
     """
     rot, trans = scene.med_rot, scene.med_trans          # [M,3,3], [M,3]
     o_l = jnp.einsum("mji,nmj->nmi", rot, o[:, None, :] - trans[None])
@@ -61,8 +63,7 @@ def intersect(o, d, time, scene, t_min, t_max, key):
     t2 = jnp.minimum(exit_, t_max[:, None])              # geometry.scm:557
     ok = ok & (t1 < t2)
 
-    xi = jax.random.uniform(key, t1.shape, dtype=o.dtype,
-                            minval=jnp.finfo(o.dtype).tiny, maxval=1.0)
+    xi = jnp.maximum(xi, jnp.finfo(o.dtype).tiny)        # log(0) guard
     hit_dist = scene.med_neg_inv_d[None] * jnp.log(xi)   # geometry.scm:562-564
     ok = ok & (hit_dist < (t2 - t1))
     t = jnp.where(ok, t1 + hit_dist, jnp.inf)

@@ -14,6 +14,7 @@ evaluated on the outward unit normal.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import vecmath as vm
@@ -105,7 +106,11 @@ def intersect_bvh(o, d, time, scene, t_min, t_max):
     """
     n = o.shape[0]
     dt = o.dtype
-    inv_d = 1.0 / d                                   # [N,3]
+    # safe reciprocal: 0*inf = NaN would poison the slab min/max for rays
+    # exactly parallel to an axis; a huge signed value keeps IEEE semantics
+    tiny = jnp.asarray(1e-30, dt)
+    inv_d = jnp.where(jnp.abs(d) > tiny, 1.0 / jnp.where(d == 0, 1.0, d),
+                      jnp.where(d >= 0, 1e30, -1e30))
 
     def cond(state):
         cursor, _, _ = state

@@ -64,7 +64,7 @@ def render_sharded(scene, cam: Camera, config: cfg_mod.RenderConfig, mesh):
     assert config.ny % n_dev == 0, (
         f"ny={config.ny} must divide evenly over {n_dev} devices")
     rows = config.ny // n_dev
-    dtype = jnp.float32 if config.dtype == "f32" else jnp.float64
+    dtype = config.jnp_dtype
 
     fn = shard_map(
         functools.partial(_mean_image_local, config=config, rows=rows,
@@ -85,7 +85,7 @@ def train_step(params, rest_scene, cam: Camera, config: cfg_mod.RenderConfig,
     """
     n_dev = mesh.shape[RAY_AXIS]
     rows = config.ny // n_dev
-    dtype = jnp.float32 if config.dtype == "f32" else jnp.float64
+    dtype = config.jnp_dtype
     dcfg = config.replace(differentiable=True)
 
     def local_loss(params, cam, target_shard):

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from . import config as cfg_mod
 from .camera import Camera, get_rays
 from .core import rng
+from .integrator.pool import render_pool
 from .integrator.wavefront import trace_rays
 
 
@@ -36,7 +37,8 @@ class RenderState:
     sample_count: jnp.ndarray  # scalar i32 — completed passes
 
 
-def init_state(config: cfg_mod.RenderConfig, dtype=jnp.float32) -> RenderState:
+def init_state(config: cfg_mod.RenderConfig, dtype=None) -> RenderState:
+    dtype = config.jnp_dtype if dtype is None else dtype
     return RenderState(jnp.zeros((config.ny, config.nx, 3), dtype),
                        jnp.zeros((), jnp.int32))
 
@@ -68,16 +70,43 @@ def render_pass(scene, cam: Camera, config: cfg_mod.RenderConfig,
 @functools.partial(jax.jit, static_argnames=("config",))
 def render(scene, cam: Camera, config: cfg_mod.RenderConfig,
            state: RenderState) -> RenderState:
-    """config.spp sample passes from `state` (jitted; scan over passes)."""
-    def body(st, i):
-        return render_pass(scene, cam, config, st, st.sample_count), None
-    state, _ = jax.lax.scan(body, state, None, length=config.spp)
+    """config.spp sample passes from `state` (jitted).
+
+    Forward renders run the regeneration pool (integrator/pool.py) — lanes
+    re-issue work the moment a path dies, so the chip never idles on a
+    nearly-drained pass.  The differentiable path keeps the fixed-length
+    per-pass scan (reverse-mode needs a static trip count).
+    """
+    if config.differentiable:
+        def body(st, i):
+            return render_pass(scene, cam, config, st, st.sample_count), None
+        state, _ = jax.lax.scan(body, state, None, length=config.spp)
+        return state
+    state, _, _ = _render_pool_stats(scene, cam, config, state)
     return state
 
 
+def _render_pool_stats(scene, cam, config, state: RenderState):
+    """Pool render returning (state, segments, iters) — bench/CLI stats."""
+    raw, segments, iters = render_pool(
+        scene, cam, config,
+        state.raw_sum.reshape(config.n_pixels, 3), state.sample_count)
+    new_state = RenderState(raw.reshape(config.ny, config.nx, 3),
+                            state.sample_count + config.spp)
+    return new_state, segments, iters
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_with_stats(scene, cam: Camera, config: cfg_mod.RenderConfig,
+                      state: RenderState):
+    """Jitted pool render exposing (state, segments, iters)."""
+    return _render_pool_stats(scene, cam, config, state)
+
+
 def render_image(scene, cam: Camera, config: cfg_mod.RenderConfig,
-                 dtype=jnp.float32):
+                 dtype=None):
     """Fresh render: returns (mean radiance [ny,nx,3], final RenderState)."""
+    dtype = config.jnp_dtype if dtype is None else dtype
     state = render(scene, cam, config, init_state(config, dtype))
     mean = state.raw_sum / jnp.maximum(state.sample_count, 1).astype(dtype)
     return mean, state

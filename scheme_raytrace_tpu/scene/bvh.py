@@ -47,7 +47,8 @@ class FlatBVH:
 
 
 class _Node:
-    __slots__ = ("pmin", "pmax", "left", "right", "prim_ids")
+    __slots__ = ("pmin", "pmax", "left", "right", "prim_ids",
+                 "_idx", "_hit", "_miss")
 
     def __init__(self, pmin, pmax, left=None, right=None, prim_ids=None):
         self.pmin, self.pmax = pmin, pmax
@@ -116,6 +117,14 @@ def build_sah(pmins: np.ndarray, pmaxs: np.ndarray) -> FlatBVH:
             i = int(np.argmin(cost))
             if cost[i] < best[0]:
                 best = (cost[i], order[:i + 1], order[i + 1:])
+        if best[1] is None and n > MAX_LEAF:
+            # SAH says leaf-is-cheapest but the flat layout caps leaves at
+            # MAX_LEAF slots (the reference's closure leaf holds the whole
+            # list, geometry.scm:344-351) — median-split on the widest axis.
+            ext = pmaxs[ids].max(0) - pmins[ids].min(0)
+            order = ids[np.argsort(centers[ids, int(np.argmax(ext))],
+                                   kind="stable")]
+            best = (0.0, order[:n // 2], order[n // 2:])
         if best[1] is None or len(ids) <= MAX_LEAF:
             return _leaf(ids, pmins, pmaxs)
         left, right = rec(best[1]), rec(best[2])
@@ -142,7 +151,6 @@ def _flatten(root: _Node) -> FlatBVH:
         node._idx = idx          # type: ignore[attr-defined]
         node._miss = next_after  # type: ignore[attr-defined]
         if node.prim_ids is None:
-            right_idx_promise = object()
             # left child's miss target is the right child; right child's is
             # next_after.  Recurse left first (preorder).
             left_idx = assign(node.left, SENTINEL)   # patch after right known

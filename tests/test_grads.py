@@ -119,6 +119,23 @@ def test_bezier_cp_gradient_finite_nonzero():
     assert np.abs(np.asarray(g["bez_cp"])).max() > 0.0
 
 
+def test_no_nan_grads_shading_point_inside_sphere_light():
+    # Round-1 regression: sqrt(1 - r^2/d^2) NaN'd in reverse-mode whenever a
+    # shading point sat within `radius` of a sphere light (incl. padded
+    # invalid light rows near the origin).  Surfaces here sit INSIDE the
+    # light sphere's radius on purpose.
+    objs = [ob.Sphere((0, -100.5, -1), 100, ob.Lambertian((0.5, 0.5, 0.5))),
+            ob.Sphere((0, 0.0, -1), 3.0, ob.DiffuseLight((4.0, 4.0, 4.0)))]
+    scene = compile_scene(objs, sky="black")
+    assert scene.n_lights == 1
+    cam = make_camera((0, 0.8, 2), (0, 0, -1), vfov=60.0, aspect=1.0)
+    params, rest = sb.partition(scene)
+    cfg = CFG.replace(light_sampling=True)
+    g = jax.grad(_mean_image)(params, rest, cam, cfg)
+    for name, leaf in g.items():
+        assert np.isfinite(np.asarray(leaf)).all(), f"NaN grad in {name}"
+
+
 def test_no_nan_grads_on_full_cornell():
     # The NaN-hygiene test: every masked-out lane (sqrt of negative
     # discriminants etc.) must stay NaN-free under reverse-mode.

@@ -47,6 +47,41 @@ def test_resume_matches_one_shot():
                                rtol=1e-6)
 
 
+def test_pool_statistically_matches_scan_path():
+    # The regeneration pool (integrator/pool.py) and the per-pass scan
+    # (differentiable path) are two estimators of the same integral with
+    # different RNG streams — their means must agree within MC noise.
+    spec = scenes.cornell_box()
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    cam = spec.camera(aspect=1.0)
+    # Tolerance calibrated to the measured seed-to-seed MC noise of this
+    # config (std/mean ~1.9% at spp=32 over 5 seeds; fireflies are
+    # heavy-tailed, so allow ~5 sigma).
+    cfg = RenderConfig(nx=32, ny=32, spp=8, max_depth=8, light_sampling=True)
+    pool_mean, _ = R.render_image(scene, cam, cfg)
+    scan_mean, _ = R.render_image(scene, cam, cfg.replace(differentiable=True))
+    np.testing.assert_allclose(float(np.asarray(pool_mean).mean()),
+                               float(np.asarray(scan_mean).mean()), rtol=0.12)
+
+
+def test_pool_small_pool_drains_all_work():
+    # pool_rays smaller than the work list: lanes must regenerate through
+    # the whole frame (every pixel gets exactly spp samples of signal).
+    spec = scenes.test_scene_grid()
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    cam = spec.camera(aspect=1.0)
+    cfg = RenderConfig(nx=8, ny=8, spp=4, max_depth=3, pool_rays=16)
+    st, segments, iters = R.render_with_stats(scene, cam, cfg,
+                                              R.init_state(cfg))
+    assert int(st.sample_count) == 4
+    arr = np.asarray(st.raw_sum)
+    assert np.isfinite(arr).all() and (arr > 0).all()   # gradient sky: no black
+    # same image as a big pool (work-item-keyed RNG -> layout-invariant)
+    st_big = R.render(scene, cam, cfg.replace(pool_rays=1 << 14),
+                      R.init_state(cfg))
+    np.testing.assert_allclose(arr, np.asarray(st_big.raw_sum), rtol=1e-5)
+
+
 def test_to_u8_display_transform():
     # main.scm:461-465: floor(255.99 * min(1, sqrt(mean)))
     mean = np.array([[[0.0, 0.25, 4.0]]])

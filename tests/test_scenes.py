@@ -63,17 +63,20 @@ def test_scene_structure_counts():
 
 
 def test_cornell_light_is_brightest_and_on_ceiling():
-    # The emitter (emit 3,3,3 at k=554, main.scm:336) must be the brightest
-    # thing in frame and sit in the top half of the image (row 0 = bottom).
-    # (Half-frame *mean* comparisons are not an invariant here: the B12
-    # gradient sky through the open face lights the floor strongly.)
+    # The emitter (emit 3,3,3 at k=554, main.scm:336) must dominate the top
+    # half of the image (row 0 = bottom).  Robust statistics only: at finite
+    # spp single mixture-PDF estimates f/pdf*L legitimately exceed the raw
+    # emission, so no ==3.0 pixel check (round-1 ADVICE item 1); and the
+    # argmax pixel itself is an MC-noise statistic (ADVICE item 2), so the
+    # location check uses the mean row of ALL bright pixels instead.
     spec = scenes.cornell_box()
     scene = compile_scene(spec.objects, sky=spec.sky)
     cam = spec.camera(aspect=1.0)
     mean, _ = R.render_image(scene, cam,
-                             RenderConfig(nx=32, ny=32, spp=4, max_depth=8,
+                             RenderConfig(nx=32, ny=32, spp=16, max_depth=8,
                                           light_sampling=True))
     lum = np.asarray(mean).mean(-1)
-    iy, ix = np.unravel_index(lum.argmax(), lum.shape)
-    assert iy >= 16, f"brightest pixel at row {iy}, expected ceiling half"
-    np.testing.assert_allclose(lum[iy, ix], 3.0, rtol=0.05)
+    bright = lum >= 2.0     # ~the emitter (emission 3.0, everything else <1)
+    assert bright.any(), f"no pixel reaches the emitter brightness (max {lum.max():.2f})"
+    rows = np.nonzero(bright)[0]
+    assert rows.mean() >= 16, f"bright pixels centered at row {rows.mean():.1f}"
