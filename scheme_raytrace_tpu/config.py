@@ -64,6 +64,10 @@ class RenderConfig:
     # and Newton refinement steps (ops/bezier.py).
     bezier_seeds: int = 32
     bezier_newton: int = 8
+    # Fused-bounce Pallas megakernel (integrator/bounce.py): None = auto
+    # (on for TPU backends), True/False forces.  Only consulted when the
+    # scene is covered by the fused path (bounce.supported).
+    use_pallas: Optional[bool] = None
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

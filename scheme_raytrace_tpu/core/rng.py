@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Stable per-call-site salts (matches the reference's variance-shaping RNG
 # sites: pixel jitter, lens disk, ray time, scatter dir, dielectric branch,
@@ -44,8 +45,10 @@ def root_key(seed: int):
 # The same integer recurrence is reimplemented inside the Pallas megakernel
 # so kernel output is comparable against this path.
 
-_PCG_MULT = jnp.uint32(1664525)
-_PCG_ADD = jnp.uint32(1013904223)
+# numpy (not jnp) scalars: jnp constants are device arrays that a Pallas
+# kernel closure would capture; numpy scalars stay inline literals
+_PCG_MULT = np.uint32(1664525)
+_PCG_ADD = np.uint32(1013904223)
 _INV_2_24 = 1.0 / float(1 << 24)
 
 
@@ -63,8 +66,40 @@ def _pcg4d(a, b, c, d):
 
 
 def _to_unit(bits, dtype):
-    """uint32 -> [0, 1) float using the top 24 bits."""
-    return (bits >> jnp.uint32(8)).astype(dtype) * jnp.asarray(_INV_2_24, dtype)
+    """uint32 -> [0, 1) float using the top 24 bits.
+
+    Routed through an int32 bitcast (value-preserving: after >>8 the top bit
+    is clear) because Mosaic/Pallas-TPU has no uint32->float cast — this
+    exact function also runs inside the bounce megakernel.
+    """
+    i32 = jax.lax.bitcast_convert_type(bits >> jnp.uint32(8), jnp.int32)
+    return i32.astype(dtype) * jnp.asarray(_INV_2_24, dtype)
+
+
+def hash_uniforms_tuple(seed, item, depth, ncols: int, dtype=jnp.float32,
+                        group_base: int = 0):
+    """Like hash_uniforms but returns a TUPLE of [N] columns (no stack).
+
+    The SoA bounce path (integrator/bounce.py) keeps every quantity as a
+    separate lane-shaped array — a stacked [N, k] matrix would put k in the
+    TPU lane dimension and pad it to 128.  Shape-agnostic: runs on [N]
+    arrays under jit and on (B, 128) blocks inside the Pallas megakernel.
+    """
+    # pin to int32 BEFORE the bitcast: under x64 a python-int depth becomes
+    # int64 and bitcasting 64->32 bits would append a (2,) axis
+    item = jax.lax.bitcast_convert_type(jnp.asarray(item, jnp.int32),
+                                        jnp.uint32)
+    depth = jax.lax.bitcast_convert_type(jnp.asarray(depth, jnp.int32),
+                                         jnp.uint32)
+    depth = jnp.broadcast_to(depth, item.shape)
+    seed_u = jnp.broadcast_to(jnp.uint32(seed & 0xFFFFFFFF), item.shape)
+    cols = []
+    for g in range((ncols + 3) // 4):
+        out = _pcg4d(item, depth,
+                     jnp.full_like(item, jnp.uint32(group_base + g)),
+                     seed_u)
+        cols.extend(out)
+    return tuple(_to_unit(c, dtype) for c in cols[:ncols])
 
 
 def hash_uniforms(seed, item, depth, ncols: int, dtype=jnp.float32,

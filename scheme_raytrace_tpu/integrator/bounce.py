@@ -1,0 +1,666 @@
+"""Fused SoA bounce step: ray regen + intersect + shade in one pass.
+
+This is the TPU-native formulation of the hot loop (the reference's
+per-pixel `color` recursion, main.scm:100-121, inlined with `get-ray`,
+camera.scm:80-92, and the per-object hit walk, geometry.scm:33-50): every
+per-lane quantity is its OWN lane-shaped array (x, y, z as separate [N]
+vectors), never a trailing [N, 3] axis — on TPU a minor dim of 3 pads to
+the 128-wide lane tile and taxes every op ~40x (measured).  Scene data is
+packed into one flat f32 "constant buffer" whose offsets are static, so no
+per-lane gathers are needed: primitive loops are unrolled with scalar
+parameters and a running closest-hit merge, and the winning primitive's
+MATERIAL is merged during the sweep (type, albedo, fuzz, ref-idx carried as
+per-lane values) instead of gathered afterwards.
+
+The SAME traced code runs two ways:
+  * plain jnp on [M] arrays — the CPU / fallback fast path, and the
+    correctness oracle for the kernel;
+  * inside a `pl.pallas_call` on (B, 128) VMEM blocks — the TPU megakernel
+    (ray generation + intersection sweeps + scatter/emit in one fused
+    kernel, per the BASELINE north star), one HBM round-trip per bounce.
+
+Coverage: spheres (static + moving), rects (with baked rigid transforms),
+lambertian/metal/dielectric/diffuse-light, constant + checker textures,
+gradient/black sky, mixture-PDF light sampling (xz-rect + sphere lights).
+Scenes using media/bezier/klein/perlin/image textures take the general
+masked-sweep pool body instead (integrator/pool.py chooses per scene).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfg_mod
+from ..camera import _basis
+from ..core import rng
+from ..scene import build as sb
+from ..scene import objects as ob
+
+_PI = float(np.pi)
+_TWO_PI = 2.0 * _PI
+
+# ---------------------------------------------------------------------------
+# SoA vec helpers: a "vector" is a (x, y, z) tuple of same-shape arrays
+# ---------------------------------------------------------------------------
+
+
+def dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def cross3(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def add3(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def scale3(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def mul3(a, b):
+    return (a[0] * b[0], a[1] * b[1], a[2] * b[2])
+
+
+def where3(m, a, b):
+    return tuple(jnp.where(m, x, y) for x, y in zip(a, b))
+
+
+def unit3(a, eps=1e-12):
+    inv = jax.lax.rsqrt(jnp.maximum(dot3(a, a), eps))
+    return scale3(a, inv)
+
+
+# ---------------------------------------------------------------------------
+# Packed-scene layout (static offsets; one flat f32 vector)
+# ---------------------------------------------------------------------------
+
+# header fields
+H_SKY_A, H_SKY_B = 0, 3
+H_CAM_O, H_CAM_LL, H_CAM_H, H_CAM_V, H_CAM_U, H_CAM_VV = 6, 9, 12, 15, 18, 21
+H_LENS_R, H_T0, H_DT = 24, 25, 26
+HDR_SIZE = 27
+
+# per-rect fields (world normal premultiplied by flip at pack time)
+R_K, R_A0, R_A1, R_B0, R_B1, R_VALID = 0, 1, 2, 3, 4, 5
+R_NSEL, R_ASEL, R_BSEL, R_WN, R_ROT, R_TRANS = 6, 9, 12, 15, 18, 27
+R_MTYPE, R_ALB0, R_ALB1, R_ISCHK, R_FUZZ, R_REF = 30, 31, 34, 37, 38, 39
+RECT_SIZE = 40
+
+# per-sphere fields
+S_C0, S_C1, S_T0, S_T1, S_R, S_VALID = 0, 3, 6, 7, 8, 9
+S_MTYPE, S_ALB0, S_ALB1, S_ISCHK, S_FUZZ, S_REF = 10, 11, 14, 17, 18, 19
+SPH_SIZE = 20
+
+# per-light fields
+L_KIND, L_X0, L_X1, L_Z0, L_Z1, L_KY, L_C, L_RAD, L_VALID = (
+    0, 1, 2, 3, 4, 5, 6, 9, 10)
+LGT_SIZE = 11
+
+
+@dataclasses.dataclass(frozen=True)
+class BouncePlan:
+    """Static shape/flag info for one (scene, config) pair."""
+    n_rects: int
+    n_spheres: int
+    n_lights: int
+    has_rect_xform: bool
+    has_moving: bool
+    light_sampling: bool
+    nx: int
+    ny: int
+    total_pix: int
+    max_depth: int
+    seed: int
+    dtype: str
+    size: int = 0
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "size",
+            HDR_SIZE + self.n_rects * RECT_SIZE
+            + self.n_spheres * SPH_SIZE + self.n_lights * LGT_SIZE)
+
+    @property
+    def rect_base(self):
+        return HDR_SIZE
+
+    @property
+    def sph_base(self):
+        return HDR_SIZE + self.n_rects * RECT_SIZE
+
+    @property
+    def lgt_base(self):
+        return self.sph_base + self.n_spheres * SPH_SIZE
+
+
+# Above this primitive count the unrolled sweep makes compiles slow and a
+# BVH wins anyway — such scenes take the general pool (sweep or BVH path).
+MAX_FUSED_PRIMS = 64
+
+
+def supported(scene, config) -> bool:
+    """True when the fused SoA bounce covers this (scene, config)."""
+    n_prims = ((int(scene.rect_k.shape[0]) if scene.has_rects else 0)
+               + (int(scene.sph_r.shape[0]) if scene.has_spheres else 0))
+    return not (scene.has_media or scene.has_beziers or scene.has_klein
+                or scene.has_perlin_tex or scene.has_image_tex
+                or config.russian_roulette or config.traversal == "bvh"
+                or n_prims > MAX_FUSED_PRIMS)
+
+
+def make_plan(scene, config) -> BouncePlan:
+    return BouncePlan(
+        n_rects=int(scene.rect_k.shape[0]) if scene.has_rects else 0,
+        n_spheres=int(scene.sph_r.shape[0]) if scene.has_spheres else 0,
+        n_lights=scene.n_lights if config.light_sampling else 0,
+        has_rect_xform=scene.has_rect_xform,
+        has_moving=scene.has_moving,
+        light_sampling=config.light_sampling and scene.n_lights > 0,
+        nx=config.nx, ny=config.ny, total_pix=config.n_pixels,
+        max_depth=config.max_depth, seed=config.seed, dtype=config.dtype)
+
+
+def _mat_fields(scene, mid):
+    """(mtype, alb0[.,3], alb1[.,3], ischeck) resolved through the tex table."""
+    tex = scene.mat_tex[mid]
+    ttype = scene.tex_type[tex]
+    ischeck = (ttype == sb.TEX_CHECKER)
+    alb0 = jnp.where(ischeck[:, None],
+                     scene.tex_color[scene.tex_child0[tex]],
+                     scene.tex_color[tex])
+    alb1 = scene.tex_color[scene.tex_child1[tex]]
+    return (scene.mat_type[mid].astype(alb0.dtype), alb0, alb1,
+            ischeck.astype(alb0.dtype))
+
+
+def pack(scene, cam, plan: BouncePlan, dtype):
+    """Build the flat f32 scene/"constant buffer" vector (traced, cheap)."""
+    pieces = []
+    f = lambda x: jnp.asarray(x, dtype).ravel()
+    pieces += [f(scene.sky_a), f(scene.sky_b)]
+    origin, ll, hor, ver, cu, cv, _ = _basis(cam)
+    pieces += [f(origin), f(ll), f(hor), f(ver), f(cu), f(cv),
+               f(cam.aperture / 2.0), f(cam.time0),
+               f(cam.time1 - cam.time0)]
+
+    if plan.n_rects:
+        eye = jnp.eye(3, dtype=dtype)
+        axis = scene.rect_axis
+        nsel = eye[axis]
+        asel = eye[jnp.where(axis == 0, 1, 0)]
+        bsel = eye[jnp.where(axis == 2, 1, 2)]
+        rot = scene.rect_rot.astype(dtype)
+        wn = jnp.einsum("rij,rj->ri", rot, nsel) * scene.rect_flip[:, None]
+        mtype, alb0, alb1, ischeck = _mat_fields(scene, scene.rect_mat)
+        block = jnp.concatenate([
+            scene.rect_k[:, None], scene.rect_a0[:, None],
+            scene.rect_a1[:, None], scene.rect_b0[:, None],
+            scene.rect_b1[:, None],
+            scene.rect_valid.astype(dtype)[:, None],
+            nsel, asel, bsel, wn, rot.reshape(-1, 9),
+            scene.rect_trans.astype(dtype),
+            mtype[:, None], alb0, alb1, ischeck[:, None],
+            scene.mat_fuzz[scene.rect_mat][:, None],
+            scene.mat_ref[scene.rect_mat][:, None],
+        ], axis=1).astype(dtype)
+        assert block.shape[1] == RECT_SIZE
+        pieces.append(block.ravel())
+
+    if plan.n_spheres:
+        mtype, alb0, alb1, ischeck = _mat_fields(scene, scene.sph_mat)
+        block = jnp.concatenate([
+            scene.sph_c0, scene.sph_c1, scene.sph_t0[:, None],
+            scene.sph_t1[:, None], scene.sph_r[:, None],
+            scene.sph_valid.astype(dtype)[:, None],
+            mtype[:, None], alb0, alb1, ischeck[:, None],
+            scene.mat_fuzz[scene.sph_mat][:, None],
+            scene.mat_ref[scene.sph_mat][:, None],
+        ], axis=1).astype(dtype)
+        assert block.shape[1] == SPH_SIZE
+        pieces.append(block.ravel())
+
+    if plan.n_lights:
+        block = jnp.concatenate([
+            scene.light_kind.astype(dtype)[:, None],
+            scene.light_rect,                       # x0, x1, z0, z1, k
+            scene.light_center,
+            scene.light_radius[:, None],
+            scene.light_valid.astype(dtype)[:, None],
+        ], axis=1).astype(dtype)
+        assert block.shape[1] == LGT_SIZE
+        pieces.append(block.ravel())
+
+    pk = jnp.concatenate(pieces)
+    assert pk.shape[0] == plan.size, (pk.shape, plan.size)
+    return pk
+
+
+# ---------------------------------------------------------------------------
+# The fused step (shape-agnostic; jnp on [M] or Pallas on (B, 128))
+# ---------------------------------------------------------------------------
+
+
+def _v(pk, base):
+    return (pk[base], pk[base + 1], pk[base + 2])
+
+
+def _camera_ray(plan, pk, u, px, py):
+    """SoA get_rays_u (camera.scm:80-92) from packed camera basis."""
+    dt = px.dtype
+    s = (px + u[0]) * (1.0 / plan.nx)          # main.scm:456-457
+    t = (py + u[1]) * (1.0 / plan.ny)
+    r = jnp.sqrt(u[2])
+    phi = _TWO_PI * u[3]
+    rdx = pk[H_LENS_R] * r * jnp.cos(phi)
+    rdy = pk[H_LENS_R] * r * jnp.sin(phi)
+    cu, cv = _v(pk, H_CAM_U), _v(pk, H_CAM_VV)
+    off = add3(scale3(cu, rdx), scale3(cv, rdy))
+    origin = _v(pk, H_CAM_O)
+    o = add3(origin, off)
+    ll, hor, ver = _v(pk, H_CAM_LL), _v(pk, H_CAM_H), _v(pk, H_CAM_V)
+    d = tuple(ll[i] + s * hor[i] + t * ver[i] - origin[i] - off[i]
+              for i in range(3))
+    time = pk[H_T0] + u[4] * pk[H_DT]
+    return o, unit3(d), jnp.broadcast_to(time.astype(dt), px.shape)
+
+
+def _intersect(plan, pk, o, d, time, t_min, t_max):
+    """Unrolled closest-hit sweep over rects + spheres, material merged in.
+
+    Returns dict of per-lane best-hit attributes (hit, t, wn, mtype, alb0,
+    alb1, ischeck, fuzz, ref).
+    """
+    shp = o[0].shape
+    dt = o[0].dtype
+    big = jnp.asarray(t_max, dt)
+    z = jnp.zeros(shp, dt)
+    best = {
+        "hit": jnp.zeros(shp, bool), "t": jnp.full(shp, t_max, dt),
+        "wn": (z, z, z), "mtype": z, "alb0": (z, z, z), "alb1": (z, z, z),
+        "ischeck": z, "fuzz": z, "ref": z,
+    }
+
+    def merge(ok, t, wn, base, a0_off, a1_off, m_off, chk_off, fz_off,
+              rf_off):
+        closer = ok & (t < best["t"])
+        best["hit"] = best["hit"] | closer
+        best["t"] = jnp.where(closer, t, best["t"])
+        best["wn"] = where3(closer, wn, best["wn"])
+        best["mtype"] = jnp.where(closer, pk[base + m_off], best["mtype"])
+        best["alb0"] = where3(closer, tuple(pk[base + a0_off + i]
+                                            for i in range(3)), best["alb0"])
+        best["alb1"] = where3(closer, tuple(pk[base + a1_off + i]
+                                            for i in range(3)), best["alb1"])
+        best["ischeck"] = jnp.where(closer, pk[base + chk_off],
+                                    best["ischeck"])
+        best["fuzz"] = jnp.where(closer, pk[base + fz_off], best["fuzz"])
+        best["ref"] = jnp.where(closer, pk[base + rf_off], best["ref"])
+
+    for r in range(plan.n_rects):
+        b = plan.rect_base + r * RECT_SIZE
+        if plan.has_rect_xform:
+            rot = [pk[b + R_ROT + i] for i in range(9)]
+            tr = _v(pk, b + R_TRANS)
+            om = sub3(o, tr)
+            # object space: R^T x
+            o_l = (rot[0] * om[0] + rot[3] * om[1] + rot[6] * om[2],
+                   rot[1] * om[0] + rot[4] * om[1] + rot[7] * om[2],
+                   rot[2] * om[0] + rot[5] * om[1] + rot[8] * om[2])
+            d_l = (rot[0] * d[0] + rot[3] * d[1] + rot[6] * d[2],
+                   rot[1] * d[0] + rot[4] * d[1] + rot[7] * d[2],
+                   rot[2] * d[0] + rot[5] * d[1] + rot[8] * d[2])
+        else:
+            o_l, d_l = o, d
+        nsel, asel, bsel = (_v(pk, b + R_NSEL), _v(pk, b + R_ASEL),
+                            _v(pk, b + R_BSEL))
+        dn = dot3(d_l, nsel)
+        t = (pk[b + R_K] - dot3(o_l, nsel)) / dn   # geometry.scm:378-379
+        pa = dot3(o_l, asel) + t * dot3(d_l, asel)
+        pb = dot3(o_l, bsel) + t * dot3(d_l, bsel)
+        ok = ((t >= t_min) & (t <= big) & (pk[b + R_VALID] > 0.5)
+              & (pa >= pk[b + R_A0]) & (pa <= pk[b + R_A1])
+              & (pb >= pk[b + R_B0]) & (pb <= pk[b + R_B1]))
+        wn = tuple(jnp.broadcast_to(pk[b + R_WN + i], shp).astype(dt)
+                   for i in range(3))
+        merge(ok, t, wn, b, R_ALB0, R_ALB1, R_MTYPE, R_ISCHK, R_FUZZ, R_REF)
+
+    for s in range(plan.n_spheres):
+        b = plan.sph_base + s * SPH_SIZE
+        c0 = _v(pk, b + S_C0)
+        if plan.has_moving:
+            span = pk[b + S_T1] - pk[b + S_T0]
+            frac = (time - pk[b + S_T0]) / jnp.where(span == 0.0, 1.0, span)
+            c1 = _v(pk, b + S_C1)
+            c = tuple(c0[i] + frac * (c1[i] - c0[i]) for i in range(3))
+        else:
+            c = tuple(jnp.broadcast_to(c0[i], shp).astype(dt)
+                      for i in range(3))
+        rr = pk[b + S_R]
+        oc = sub3(o, c)
+        bq = dot3(oc, d)                           # geometry.scm:149-153
+        cq = dot3(oc, oc) - rr * rr
+        disc = bq * bq - cq
+        okd = disc > 0.0
+        sq = jnp.sqrt(jnp.where(okd, disc, 1.0))
+        t0 = -bq - sq
+        t1 = -bq + sq
+        in0 = okd & (t0 > t_min) & (t0 < big)
+        in1 = okd & (t1 > t_min) & (t1 < big)
+        t = jnp.where(in0, t0, jnp.where(in1, t1, big))
+        ok = (in0 | in1) & (pk[b + S_VALID] > 0.5)
+        # normal (p - c)/r: sign(r) keeps the hollow-dielectric flip
+        inv_r = 1.0 / rr
+        wn = tuple((o[i] + t * d[i] - c[i]) * inv_r for i in range(3))
+        merge(ok, t, wn, b, S_ALB0, S_ALB1, S_MTYPE, S_ISCHK, S_FUZZ, S_REF)
+
+    return best
+
+
+def _onb_local(w, x, y, zc):
+    """onb.scm:8-16 + local: world vector from local (x, y, zc) about w."""
+    pick_y = jnp.abs(w[0]) > 0.9
+    a = (jnp.where(pick_y, 0.0, 1.0), jnp.where(pick_y, 1.0, 0.0),
+         jnp.zeros_like(w[0]))
+    v = unit3(cross3(w, a))
+    u = cross3(v, w)
+    return tuple(x * u[i] + y * v[i] + zc * w[i] for i in range(3))
+
+
+def _cosine_dir(u1, u2, w):
+    """Cosine-weighted direction about w (util.scm:37-44, B4 fixed)."""
+    phi = _TWO_PI * u1
+    sr2 = jnp.sqrt(u2)
+    zc = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
+    return unit3(_onb_local(w, jnp.cos(phi) * sr2, jnp.sin(phi) * sr2, zc))
+
+
+def _cosine_value(n, d):
+    return jnp.maximum(dot3(n, d), 0.0) * (1.0 / _PI)
+
+
+def _lights_sample(plan, pk, u_pick, u_a, u_b, u_s1, u_s2, p):
+    """SoA pdfs.lights_sample_u: direction toward one chosen light."""
+    shp = p[0].shape
+    dt = p[0].dtype
+    out = (jnp.zeros(shp, dt), jnp.zeros(shp, dt), jnp.ones(shp, dt))
+    nl = plan.n_lights
+    scaled = u_pick * nl
+    for l in range(nl):
+        b = plan.lgt_base + l * LGT_SIZE
+        sel = (scaled >= l) & ((scaled < l + 1) | (l == nl - 1))
+        is_rect = pk[b + L_KIND] < 0.5              # LIGHT_XZ_RECT == 0
+        px = pk[b + L_X0] + u_a * (pk[b + L_X1] - pk[b + L_X0])
+        pz = pk[b + L_Z0] + u_b * (pk[b + L_Z1] - pk[b + L_Z0])
+        target = (px, jnp.broadcast_to(pk[b + L_KY], shp).astype(dt), pz)
+        rect_dir = unit3(sub3(target, p), eps=1e-12)
+
+        c = _v(pk, b + L_C)
+        oc = sub3(c, p)
+        dist_sq = jnp.maximum(dot3(oc, oc), 1e-12)
+        radius = pk[b + L_RAD]
+        inner = 1.0 - radius * radius / dist_sq
+        outside = inner > 0.0
+        ctm = jnp.where(outside, jnp.sqrt(jnp.where(outside, inner, 1.0)),
+                        0.0)
+        zc = 1.0 + u_s2 * (ctm - 1.0)
+        phi = _TWO_PI * u_s1
+        zin = 1.0 - zc * zc
+        z_ok = zin > 0.0
+        sz = jnp.where(z_ok, jnp.sqrt(jnp.where(z_ok, zin, 1.0)), 0.0)
+        sph_dir = unit3(_onb_local(unit3(oc), jnp.cos(phi) * sz,
+                                   jnp.sin(phi) * sz, zc))
+        out = where3(sel, where3(is_rect, rect_dir, sph_dir), out)
+    return out
+
+
+def _lights_value(plan, pk, p, d):
+    """SoA pdfs.lights_value: mean hittable-PDF value over the lights."""
+    shp = p[0].shape
+    total = jnp.zeros(shp, p[0].dtype)
+    for l in range(plan.n_lights):
+        b = plan.lgt_base + l * LGT_SIZE
+        is_rect = pk[b + L_KIND] < 0.5
+        # xz-rect (RTROYL 12.1; guards mirror pdfs._rect_value_one)
+        dy_ok = jnp.abs(d[1]) > 1e-9
+        t_raw = (pk[b + L_KY] - p[1]) / jnp.where(dy_ok, d[1], 1.0)
+        hx = p[0] + t_raw * d[0]
+        hz = p[2] + t_raw * d[2]
+        inside = (dy_ok & (t_raw > 1e-3) & (t_raw < 1e8)
+                  & (hx >= pk[b + L_X0]) & (hx <= pk[b + L_X1])
+                  & (hz >= pk[b + L_Z0]) & (hz <= pk[b + L_Z1]))
+        t = jnp.where(inside, t_raw, 1.0)
+        area = (pk[b + L_X1] - pk[b + L_X0]) * (pk[b + L_Z1] - pk[b + L_Z0])
+        denom = jnp.where(inside, jnp.maximum(jnp.abs(d[1]) * area, 1e-12),
+                          1.0)
+        rect_v = jnp.where(inside, t * t / denom, 0.0)
+        # sphere (RTROYL 12.2)
+        c = _v(pk, b + L_C)
+        oc = sub3(c, p)
+        dist_sq = dot3(oc, oc)
+        radius = pk[b + L_RAD]
+        outside = dist_sq > radius * radius
+        ratio = jnp.clip(radius * radius / jnp.maximum(dist_sq, 1e-12),
+                         0.0, 1.0)
+        ctm = jnp.sqrt(jnp.where(outside, 1.0 - ratio, 1.0))
+        solid = _TWO_PI * (1.0 - ctm)
+        cos_dir = dot3(unit3(d), unit3(oc))
+        hitting = outside & (cos_dir >= ctm)
+        sph_v = jnp.where(hitting, 1.0 / jnp.maximum(solid, 1e-12), 0.0)
+        total = total + jnp.where(is_rect, rect_v, sph_v)
+    return total * (1.0 / plan.n_lights)
+
+
+def step(plan: BouncePlan, pk, gitem, px, py, fresh, alive, depth,
+         o, d, time, rad, tp):
+    """One fused pool iteration: regen fresh lanes, trace, shade.
+
+    All args lane-shaped (any shape); o/d/rad/tp are (x,y,z) tuples.
+    Returns (o', d', time', rad', tp', scattering) — the caller (pool glue)
+    handles termination bookkeeping, the work queue, and the framebuffer.
+    """
+    dt = px.dtype
+    # --- regenerate fresh lanes (camera rays; main.scm:452-469) -----------
+    u_cam = rng.hash_uniforms_tuple(plan.seed, gitem, rng.CAMERA_DEPTH, 5,
+                                    dt)
+    o_f, d_f, time_f = _camera_ray(plan, pk, u_cam, px, py)
+    o = where3(fresh, o_f, o)
+    d = where3(fresh, d_f, d)
+    time = jnp.where(fresh, time_f, time)
+    zero = jnp.zeros_like(px)
+    rad = where3(fresh, (zero, zero, zero), rad)
+    one = jnp.ones_like(px)
+    tp = where3(fresh, (one, one, one), tp)
+
+    # --- closest hit (geometry.scm:33-50) ----------------------------------
+    rec = _intersect(plan, pk, o, d, time, cfg_mod.SHADOW_EPS, cfg_mod.BIG)
+    hit = rec["hit"]
+    t_eff = jnp.where(hit, rec["t"], 0.0)          # miss: p = o (sanitized)
+    p = tuple(o[i] + t_eff * d[i] for i in range(3))
+    wn = where3(hit, rec["wn"], (zero, one, zero))
+
+    # --- sky on miss (main.scm:91-98) ---------------------------------------
+    sky_t = 0.5 * (d[1] + 1.0)                     # d is unit
+    sky_a, sky_b = _v(pk, H_SKY_A), _v(pk, H_SKY_B)
+    sky = tuple((1.0 - sky_t) * sky_a[i] + sky_t * sky_b[i] for i in range(3))
+    missed = alive & ~hit
+    rad = tuple(rad[i] + jnp.where(missed, tp[i] * sky[i], 0.0)
+                for i in range(3))
+
+    # --- texture (constant/checker, texture.scm:12-23) ---------------------
+    sines = jnp.sin(10.0 * p[0]) * jnp.sin(10.0 * p[1]) * jnp.sin(10.0 * p[2])
+    use1 = (rec["ischeck"] > 0.5) & (sines < 0.0)
+    alb = where3(use1, rec["alb1"], rec["alb0"])
+
+    # --- emission (material.scm:103-111) ------------------------------------
+    mtype = rec["mtype"]
+    is_light = mtype == float(ob.MAT_DIFFUSE_LIGHT)
+    front = dot3(wn, d) < 0.0
+    hit_live = alive & hit
+    emit_m = hit_live & is_light & front
+    rad = tuple(rad[i] + jnp.where(emit_m, tp[i] * alb[i], 0.0)
+                for i in range(3))
+
+    # --- shade uniforms ------------------------------------------------------
+    u = rng.hash_uniforms_tuple(plan.seed, gitem, depth, 12, dt)
+
+    # --- lambertian (material.scm:24-39; mixture pdf per pdf.scm intent) ---
+    if plan.light_sampling:
+        use_light = u[2] < 0.5
+        d_cos = _cosine_dir(u[0], u[1], wn)
+        d_light = _lights_sample(plan, pk, u[3], u[4], u[5], u[6], u[7], p)
+        lam_dir = where3(use_light, d_light, d_cos)
+        pdf = 0.5 * _cosine_value(wn, lam_dir) + 0.5 * _lights_value(
+            plan, pk, p, lam_dir)
+        s_pdf = _cosine_value(wn, lam_dir)
+        ratio = s_pdf / jnp.maximum(pdf, 1e-12)
+        lam_mult = scale3(alb, ratio)
+        lam_ok = pdf > 0.0
+    else:
+        lam_dir = _cosine_dir(u[0], u[1], wn)
+        lam_mult = alb
+        lam_ok = jnp.ones_like(hit)
+
+    # --- unit ball draw (metal fuzz; util.scm:9-15 analytic) ----------------
+    bz = 2.0 * u[9] - 1.0
+    bphi = _TWO_PI * u[10]
+    br = jnp.cbrt(u[11])
+    bs = jnp.sqrt(jnp.maximum(1.0 - bz * bz, 0.0))
+    ball = (br * bs * jnp.cos(bphi), br * bs * jnp.sin(bphi), br * bz)
+
+    # --- metal (material.scm:45-57) ------------------------------------------
+    refl = sub3(d, scale3(wn, 2.0 * dot3(d, wn)))
+    fuzzed = add3(refl, scale3(ball, rec["fuzz"]))
+    metal_ok = dot3(fuzzed, wn) > 0.0
+    metal_dir = unit3(fuzzed)
+
+    # --- dielectric (material.scm:76-101) ------------------------------------
+    ref_idx = rec["ref"]
+    dd = dot3(d, wn)
+    exiting = dd > 0.0
+    own = where3(exiting, scale3(wn, -1.0), wn)
+    ni_over_nt = jnp.where(exiting, ref_idx,
+                           1.0 / jnp.where(ref_idx == 0.0, 1.0, ref_idx))
+    cosine = jnp.where(exiting, dd * ref_idx, -dd)
+    dtn = dot3(d, own)                              # d is unit
+    disc = 1.0 - ni_over_nt * ni_over_nt * (1.0 - dtn * dtn)
+    refr_ok = disc > 0.0
+    safe = jnp.sqrt(jnp.where(refr_ok, disc, 1.0))
+    refr = tuple(ni_over_nt * (d[i] - own[i] * dtn) - own[i] * safe
+                 for i in range(3))
+    r0 = (1.0 - ref_idx) / (1.0 + jnp.where(ref_idx == -1.0, 1.0, ref_idx))
+    r0 = r0 * r0
+    schlick = r0 + (1.0 - r0) * jnp.power(jnp.maximum(1.0 - cosine, 0.0),
+                                          5.0)
+    reflect_prob = jnp.where(refr_ok, schlick, 1.0)
+    take_refl = u[8] < reflect_prob
+    diel_dir = unit3(where3(take_refl, refl, refr))
+
+    # --- combine (B3-fixed full protocol; shade.py contract) ----------------
+    is_lam = mtype == float(ob.MAT_LAMBERTIAN)
+    is_metal = mtype == float(ob.MAT_METAL)
+    is_diel = mtype == float(ob.MAT_DIELECTRIC)
+    direction = where3(is_lam, lam_dir,
+                       where3(is_metal, metal_dir, diel_dir))
+    mult = where3(is_diel, (one, one, one),
+                  where3(is_lam, lam_mult, alb))
+    sc_ok = (is_lam & lam_ok) | (is_metal & metal_ok) | is_diel
+    scattering = hit_live & sc_ok & (depth < plan.max_depth)
+
+    tp = where3(scattering, mul3(tp, mult), tp)
+    o = where3(scattering, p, o)
+    d = where3(scattering, direction, d)
+    return o, d, time, rad, tp, scattering
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU megakernel: the SAME step traced onto (block, 128) VMEM tiles
+# ---------------------------------------------------------------------------
+
+
+def as_pallas(plan: BouncePlan, m: int, block_rows: int = 256,
+              interpret: bool = False):
+    """Wrap `step` as a Pallas TPU kernel over an m-lane pool.
+
+    Lanes are viewed as (m/128, 128) and processed in (block_rows, 128)
+    VMEM tiles; the packed scene vector rides along replicated.  Returns a
+    function with `step`'s exact signature (pk and lane arrays as flat [m]
+    jnp arrays), so the pool glue is oblivious to which path runs.
+    `interpret=True` runs the kernel in interpreter mode (CPU tests).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert m % 128 == 0, m
+    rows = m // 128
+    br = min(block_rows, rows)
+    while rows % br:
+        br //= 2
+    grid = (rows // br,)
+    P = plan.size
+
+    def kernel(pk_ref, gitem_ref, px_ref, py_ref, fresh_ref, alive_ref,
+               depth_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, t_r,
+               rx_r, ry_r, rz_r, tx_r, ty_r, tz_r,
+               o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_t,
+               o_rx, o_ry, o_rz, o_tx, o_ty, o_tz, o_sc):
+        pk = pk_ref[0, :]
+        o, d, time, rad, tp, scattering = step(
+            plan, pk, gitem_ref[:], px_ref[:], py_ref[:],
+            fresh_ref[:] != 0, alive_ref[:] != 0, depth_ref[:],
+            (ox_r[:], oy_r[:], oz_r[:]), (dx_r[:], dy_r[:], dz_r[:]),
+            t_r[:], (rx_r[:], ry_r[:], rz_r[:]),
+            (tx_r[:], ty_r[:], tz_r[:]))
+        o_ox[:], o_oy[:], o_oz[:] = o
+        o_dx[:], o_dy[:], o_dz[:] = d
+        o_t[:] = time
+        o_rx[:], o_ry[:], o_rz[:] = rad
+        o_tx[:], o_ty[:], o_tz[:] = tp
+        o_sc[:] = scattering.astype(jnp.int32)
+
+    lane_spec = pl.BlockSpec((br, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    pk_spec = pl.BlockSpec((1, P), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def stepfn(plan_, pk, gitem, px, py, fresh, alive, depth, o, d, time,
+               rad, tp):
+        dt = px.dtype
+        r2 = lambda x: x.reshape(rows, 128)
+        f32s = [px, py, time, *o, *d, *rad, *tp]
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pk_spec] + [lane_spec] * 19,
+            out_specs=[lane_spec] * 14,
+            out_shape=([jax.ShapeDtypeStruct((rows, 128), dt)] * 13
+                       + [jax.ShapeDtypeStruct((rows, 128), jnp.int32)]),
+            interpret=interpret,
+        )(pk.reshape(1, P), r2(gitem), r2(px), r2(py),
+          r2(fresh.astype(jnp.int32)), r2(alive.astype(jnp.int32)),
+          r2(depth), r2(o[0]), r2(o[1]), r2(o[2]),
+          r2(d[0]), r2(d[1]), r2(d[2]), r2(time),
+          r2(rad[0]), r2(rad[1]), r2(rad[2]),
+          r2(tp[0]), r2(tp[1]), r2(tp[2]))
+        f = lambda x: x.reshape(m)
+        return ((f(outs[0]), f(outs[1]), f(outs[2])),
+                (f(outs[3]), f(outs[4]), f(outs[5])), f(outs[6]),
+                (f(outs[7]), f(outs[8]), f(outs[9])),
+                (f(outs[10]), f(outs[11]), f(outs[12])),
+                f(outs[13]) != 0)
+
+    return stepfn

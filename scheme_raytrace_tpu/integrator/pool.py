@@ -38,6 +38,7 @@ class PoolState(NamedTuple):
     radiance: jnp.ndarray    # [M,3] accumulated along the current path
     throughput: jnp.ndarray  # [M,3]
     item: jnp.ndarray        # [M] i32 local work-item id (pass-major)
+    gitem: jnp.ndarray       # [M] i32 GLOBAL work-item id (RNG counter key)
     depth: jnp.ndarray       # [M] i32 bounces completed on this path
     alive: jnp.ndarray       # [M] bool
     next_w: jnp.ndarray      # scalar i32 — next local work item to issue
@@ -51,37 +52,67 @@ def _sky(scene, d):
     return (1.0 - t)[..., None] * scene.sky_a + t[..., None] * scene.sky_b
 
 
-def _camera_rays(cam, config, item, base, dtype):
-    """Generate camera rays for local work items (absolute = base + item)."""
-    abs_item = base + item
+def _camera_rays(cam, config, item, sample_base, n_pix, pix0, total_pix,
+                 dtype):
+    """Generate camera rays for local work items.
+
+    `item` is pass-major over this shard's n_pix pixels; the RNG is keyed by
+    the GLOBAL work-item id (pass, global pixel) so a sharded render draws
+    the exact same randomness as the unsharded one (shard-invariance).
+    """
+    pix_local = item % n_pix
+    pass_idx = item // n_pix
+    gpix = pix0 + pix_local
+    abs_item = (sample_base + pass_idx) * total_pix + gpix
     u = rng.hash_uniforms(config.seed, abs_item, rng.CAMERA_DEPTH, 5, dtype)
-    pix = item % config.n_pixels
-    ys, xs = jnp.divmod(pix, config.nx)
+    ys, xs = jnp.divmod(gpix, config.nx)
     s = (xs.astype(dtype) + u[:, 0]) / config.nx      # main.scm:456-457
     t = (ys.astype(dtype) + u[:, 1]) / config.ny
-    return get_rays_u(cam, s, t, u[:, 2], u[:, 3], u[:, 4])
+    o, d, time = get_rays_u(cam, s, t, u[:, 2], u[:, 3], u[:, 4])
+    return o, d, time, abs_item
 
 
-def render_pool(scene, cam, config, raw0, sample_base):
-    """Trace config.spp full-frame passes into raw0 via the regeneration pool.
+def render_pool_auto(scene, cam, config, raw0, sample_base, pix0=0,
+                     total_pix=None, vary_axes=()):
+    """Dispatch to the fused SoA pool (integrator/pool_fused.py — the TPU
+    fast path, Pallas megakernel) when the scene is covered, else to the
+    general masked-sweep pool below (media/bezier/klein/perlin/image-tex
+    scenes and BVH traversal).  Identical estimator + RNG streams."""
+    from . import bounce, pool_fused
+    if bounce.supported(scene, config):
+        return pool_fused.render_pool_fused(scene, cam, config, raw0,
+                                            sample_base, pix0, total_pix,
+                                            vary_axes)
+    return render_pool(scene, cam, config, raw0, sample_base, pix0,
+                       total_pix, vary_axes)
 
-    raw0: [ny*nx, 3] running radiance sums (flattened); sample_base: passes
-    already in raw0 (offsets the absolute work-item ids so resumed renders
-    draw fresh, reproducible randomness).  Returns (raw, segments, iters).
+
+def render_pool(scene, cam, config, raw0, sample_base, pix0=0,
+                total_pix=None, vary_axes=()):
+    """Trace config.spp passes over raw0's pixels via the regeneration pool.
+
+    raw0: [n_pix, 3] running radiance sums for this shard's pixels
+    (flattened; the full frame when unsharded, a row-block when sharded
+    with `pix0` = global index of raw0's first pixel and `total_pix` = full
+    frame pixel count).  sample_base: passes already in raw0 (offsets the
+    absolute work-item ids so resumed renders draw fresh, reproducible
+    randomness).  Returns (raw, segments, iters).
     """
-    n_pix = config.n_pixels
+    n_pix = raw0.shape[0]
+    total_pix = config.n_pixels if total_pix is None else total_pix
     n_work = n_pix * config.spp
     m = min(config.pool_rays, n_work)
     dtype = raw0.dtype
-    base = sample_base * n_pix
 
     item0 = jnp.arange(m, dtype=jnp.int32)
-    o0, d0, time0 = _camera_rays(cam, config, item0, base, dtype)
+    o0, d0, time0, gitem0 = _camera_rays(cam, config, item0, sample_base,
+                                         n_pix, pix0, total_pix, dtype)
     state = PoolState(
         o=o0, d=d0, time=time0,
         radiance=jnp.zeros((m, 3), dtype),
         throughput=jnp.ones((m, 3), dtype),
         item=item0,
+        gitem=gitem0,
         depth=jnp.zeros(m, jnp.int32),
         alive=jnp.ones(m, bool),
         next_w=jnp.asarray(m, jnp.int32),
@@ -89,9 +120,19 @@ def render_pool(scene, cam, config, raw0, sample_base):
         segments=jnp.zeros((), jnp.int32),
         iters=jnp.zeros((), jnp.int32),
     )
+    if vary_axes:
+        # under shard_map the carry must be uniformly device-varying: the
+        # freshly-created zeros/aranges above are replicated while the loop
+        # outputs vary with the shard (pix0), so mark the whole init varying
+        # (skipping leaves, like raw0 itself, that already vary)
+        def _vary(x):
+            have = getattr(jax.typeof(x), "vma", frozenset())
+            need = tuple(a for a in vary_axes if a not in have)
+            return jax.lax.pvary(x, need) if need else x
+        state = jax.tree.map(_vary, state)
 
     def body(st: PoolState) -> PoolState:
-        abs_item = base + st.item
+        abs_item = st.gitem
         xi_med = (rng.hash_uniforms(config.seed, abs_item, st.depth,
                                     scene.med_kind.shape[0], dtype,
                                     group_base=rng.GROUP_MEDIUM)
@@ -134,7 +175,9 @@ def render_pool(scene, cam, config, raw0, sample_base):
         new_local = st.next_w + jnp.cumsum(t_i32) - t_i32   # exclusive rank
         has_work = terminated & (new_local < n_work)
         item = jnp.where(has_work, new_local, st.item)
-        o_new, d_new, time_new = _camera_rays(cam, config, item, base, dtype)
+        o_new, d_new, time_new, gitem_new = _camera_rays(
+            cam, config, item, sample_base, n_pix, pix0, total_pix, dtype)
+        gitem = jnp.where(has_work, gitem_new, st.gitem)
 
         o = vm.where3(scattering, rec.p, vm.where3(has_work, o_new, st.o))
         d = vm.where3(scattering, sc.direction,
@@ -145,10 +188,13 @@ def render_pool(scene, cam, config, raw0, sample_base):
         depth = jnp.where(scattering, st.depth + 1,
                           jnp.where(has_work, 0, st.depth))
         alive = scattering | has_work
-        next_w = jnp.minimum(st.next_w + jnp.sum(t_i32), n_work)
-        segments = st.segments + jnp.sum(st.alive).astype(jnp.int32)
-        return PoolState(o, d, time, radiance, throughput, item, depth,
-                         alive, next_w, raw, segments, st.iters + 1)
+        # dtype-pinned sums: under x64 (f64 oracle) jnp.sum(int32) promotes
+        # to int64 (numpy semantics) and would break the while_loop carry
+        next_w = jnp.minimum(st.next_w + jnp.sum(t_i32, dtype=jnp.int32),
+                             n_work)
+        segments = st.segments + jnp.sum(st.alive, dtype=jnp.int32)
+        return PoolState(o, d, time, radiance, throughput, item, gitem,
+                         depth, alive, next_w, raw, segments, st.iters + 1)
 
     state = jax.lax.while_loop(lambda s: jnp.any(s.alive), body, state)
     return state.raw, state.segments, state.iters

@@ -37,12 +37,68 @@ def sphere_uv(n_unit):
     return u, v
 
 
+# Below this sphere count the sweep unrolls to a per-sphere loop of
+# [N]-shaped ops (see ops/rect.py LOOP_MAX: a [N, S] sweep pads S to the
+# 128-lane tile, wasting the VPU and HBM at small S).  Larger scenes keep
+# the 2-D sweep or the BVH traversal.
+LOOP_MAX = 48
+
+
 def intersect(o, d, time, scene, t_min, t_max):
     """Closest valid sphere hit per ray.
 
     o, d: [N,3] (d unit); time: [N]; returns
     (hit [N] bool, t [N], normal [N,3], mat [N] i32, u [N], v [N]).
     """
+    if scene.sph_r.shape[0] <= LOOP_MAX:
+        return _intersect_loop(o, d, time, scene, t_min, t_max)
+    return _intersect_sweep(o, d, time, scene, t_min, t_max)
+
+
+def _intersect_loop(o, d, time, scene, t_min, t_max):
+    """Unrolled per-sphere running-min merge (geometry.scm:146-215)."""
+    n = o.shape[0]
+    dt = o.dtype
+    best_t = jnp.full(n, jnp.inf, dt)
+    best_j = jnp.zeros(n, jnp.int32)
+    for s in range(scene.sph_r.shape[0]):
+        if scene.has_moving:
+            span = scene.sph_t1[s] - scene.sph_t0[s]
+            frac = (time - scene.sph_t0[s]) / jnp.where(span == 0.0, 1.0,
+                                                        span)
+            c = scene.sph_c0[s] + frac[:, None] * (scene.sph_c1[s]
+                                                   - scene.sph_c0[s])
+        else:
+            c = scene.sph_c0[s]
+        oc = o - c
+        r = scene.sph_r[s]
+        b = vm.dot(oc, d)
+        cq = vm.sq_len(oc) - r * r
+        disc = b * b - cq
+        ok = disc > 0.0
+        sq = jnp.sqrt(jnp.where(ok, disc, 1.0))    # double-where (grads)
+        t0 = -b - sq
+        t1 = -b + sq
+        in0 = ok & (t0 > t_min) & (t0 < t_max)
+        in1 = ok & (t1 > t_min) & (t1 < t_max)
+        t = jnp.where(in0, t0, jnp.where(in1, t1, jnp.inf))
+        closer = (t < best_t) & scene.sph_valid[s]
+        best_t = jnp.where(closer, t, best_t)
+        best_j = jnp.where(closer, s, best_j)
+
+    hit = jnp.isfinite(best_t)
+    tb = jnp.where(hit, best_t, t_max)
+    j = best_j
+    cj = _center_at(scene, j, time)
+    rj = scene.sph_r[j]
+    p = o + tb[:, None] * d
+    normal = (p - cj) / rj[:, None]
+    u, v = sphere_uv(normal * jnp.sign(rj)[:, None])
+    return hit, tb, normal, scene.sph_mat[j], u, v
+
+
+def _intersect_sweep(o, d, time, scene, t_min, t_max):
+    """[N, S] masked sweep (large scenes; lanes fully packed at S >= 128)."""
     c0, c1 = scene.sph_c0, scene.sph_c1          # [S,3]
     if scene.has_moving:
         # geometry.scm:188-193 — lerp center by ray time

@@ -1,0 +1,65 @@
+"""Sharded regeneration-pool rendering: the fast forward path over a mesh.
+
+Each device runs its own regeneration pool (integrator/pool.py) over a
+contiguous row-block of the frame; the Scene/camera are replicated and the
+forward pass needs zero collectives (rays are independent — the DP pattern
+of SURVEY §2.4).  Work-item RNG is keyed by GLOBAL (pass, pixel) ids, so
+the sharded render is BIT-IDENTICAL to the unsharded one: per pixel the
+same sample values arrive in the same pass-major order, and f32 summation
+order per pixel is unchanged.
+
+The per-shard pool is itself the live-ray compaction mechanism (terminated
+lanes immediately re-issue the shard's next work item), so no
+collective-permute rebalance is needed while a shard still has queued
+work; shards only idle in the final drain tail, bounded by
+pool_rays/shard_work of the frame.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .. import config as cfg_mod
+from ..camera import Camera
+from ..integrator.pool import render_pool_auto
+from .mesh import RAY_AXIS
+
+
+def render_pool_sharded(scene, cam: Camera, config: cfg_mod.RenderConfig,
+                        mesh, raw0=None, sample_base=0):
+    """Pool-render the frame with rows sharded over the mesh.
+
+    Returns (raw [ny,nx,3] radiance sums, segments, iters) like
+    render.render_with_stats; raw0 optionally resumes an accumulation.
+    """
+    n_dev = mesh.shape[RAY_AXIS]
+    assert config.ny % n_dev == 0, (
+        f"ny={config.ny} must divide evenly over {n_dev} devices")
+    rows = config.ny // n_dev
+    local_pix = rows * config.nx
+    dtype = config.jnp_dtype
+    if raw0 is None:
+        raw0 = jnp.zeros((config.ny * config.nx, 3), dtype)
+    else:
+        raw0 = raw0.reshape(config.ny * config.nx, 3)
+
+    def local(scene, cam, raw_shard):
+        shard = jax.lax.axis_index(RAY_AXIS)
+        raw, segments, iters = render_pool_auto(
+            scene, cam, config, raw_shard, sample_base,
+            pix0=shard * local_pix, total_pix=config.n_pixels,
+            vary_axes=(RAY_AXIS,))
+        # segments summed across shards; iters is the drain-limited max
+        return (raw, jax.lax.psum(segments, RAY_AXIS),
+                jax.lax.pmax(iters, RAY_AXIS))
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(RAY_AXIS)),
+                   out_specs=(P(RAY_AXIS), P(), P()))
+    raw, segments, iters = jax.jit(fn)(scene, cam, raw0)
+    return raw.reshape(config.ny, config.nx, 3), segments, iters

@@ -1,0 +1,249 @@
+"""BASELINE parity harness: the 5 canonical configs, shared by the golden
+generator (tools/make_goldens.py) and the parity tests (tests/test_parity.py).
+
+BASELINE.json defines correctness as "rendered image + finite-difference
+pixel gradients allclose vs reference renderer at the 5 configs".  The
+reference renderer is Gauche Scheme (not runnable here, and its RNG is
+interpreter-sequential — SURVEY §7.3.4 defines parity statistically, not
+bitwise), so the oracle is THIS framework run in f64 on CPU
+(jax_enable_x64): same estimator, same counter-based sample decisions, full
+double precision.  Goldens are committed under tests/goldens/ and the f32
+production path is checked against them.
+
+Golden resolutions are reduced from the nominal BASELINE sizes (512x512 /
+200x200) so the f64 CPU oracle and the CI tests stay minutes-cheap; the
+estimator (integrator contract main.scm:100-121, pixel estimator
+main.scm:452-469) is resolution-independent, so parity at 64x64 exercises
+the identical code paths.  Config 1 is at its exact BASELINE spec
+(64x64, 10 spp, fixed seed).
+
+Gradient goldens: for each config, d(mean image)/d(param) for a few probe
+parameters, as BOTH f64 central finite differences AND f64 autodiff.  The
+generator asserts FD == AD in f64 (that is the "finite-difference pixel
+gradients" parity claim, checked at full precision where discrete-event FD
+noise is controlled); the committed test then asserts the f32 production
+autodiff matches the committed f64 autodiff (same estimator, same branches
+— a tight regression bound).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import render as R
+from . import scenes
+from .config import RenderConfig
+from .scene import build as sb
+from .scene import compile_scene
+
+GOLDEN_DIR = "tests/goldens"
+
+
+@dataclasses.dataclass(frozen=True)
+class Probe:
+    """One gradient probe: d(mean image)/d(leaf[index])."""
+    leaf: str                    # params-dict key, or "camera:<field>"
+    index: Tuple[int, ...]       # index into the leaf array ( () for scalars )
+    eps: float = 1e-3            # central-difference step (f64)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParityConfig:
+    name: str
+    scene_fn: Callable[[], scenes.SceneSpec]
+    config: RenderConfig
+    nominal: str                 # the BASELINE.json wording this realizes
+    # gradients are probed on a small differentiable render; a config may
+    # override the scene (documented per config) when the faithful scene has
+    # no continuous dependence on the probed leaf (e.g. B11 bezier normals).
+    grad_config: Optional[RenderConfig] = None
+    grad_scene_fn: Optional[Callable[[], scenes.SceneSpec]] = None
+    probes: Tuple[Probe, ...] = ()
+    # Optional (y0, y1, x0, x1) pixel window for the gradient loss: probing
+    # geometry leaves through a window strictly INSIDE the object keeps the
+    # finite difference on the smooth interior derivative (a full-frame mean
+    # picks up silhouette hit-flips that AD's interior derivative excludes).
+    # `window` indexes the small (8x8) grad workload, `window_big` the big
+    # (16x16) one.
+    window: Optional[Tuple[int, int, int, int]] = None
+    window_big: Optional[Tuple[int, int, int, int]] = None
+
+
+def _grad_bezier_scene() -> scenes.SceneSpec:
+    """test_bezier with a marble-textured curve: the B11 normal convention
+    (normal = -ray.dir, bezier.scm:211-213) makes constant-albedo ribbon
+    radiance locally independent of the control points, so the faithful
+    scene's cp gradient is zero along every continuous path.  Marble albedo
+    (p-dependent) restores the continuous signal the probe needs."""
+    spec = scenes.test_bezier()
+    from .scene import objects as ob
+    objs = [o for o in spec.objects if not isinstance(o, ob.Bezier)]
+    cp = np.array([[-1, 0, -1], [-0.8, 1, 1], [0.8, -1, 1], [1, 0, -1]], float)
+    objs.append(ob.Bezier(cp, 0.7, ob.Lambertian(ob.MarbleTexture(4.0))))
+    return scenes.SceneSpec(objs, spec.camera_kwargs, spec.sky)
+
+
+# Two gradient workloads per config, because the two parity claims pull in
+# opposite directions:
+#   * FD == AD (the BASELINE "finite-difference gradients" claim) needs FEW
+#     paths — every extra path is another chance that the +-eps perturbation
+#     crosses a discrete hit boundary, whose contribution FD sees and AD's
+#     interior derivative excludes.  Verified in f64 on the SMALL workload.
+#   * f32 AD == f64 AD (the committed regression bound) needs MANY paths —
+#     a single f32-rounding branch flip changes one whole path, and only
+#     averaging over enough paths keeps that below the tolerance.  Checked
+#     on the BIG workload.
+_GRAD_CFG = RenderConfig(nx=8, ny=8, spp=1, max_depth=3,
+                         differentiable=True)
+_GRAD_CFG_BIG = RenderConfig(nx=16, ny=16, spp=4, max_depth=3,
+                             differentiable=True)
+
+PARITY_CONFIGS: List[ParityConfig] = [
+    ParityConfig(
+        name="config1_three_spheres",
+        scene_fn=scenes.three_spheres,
+        config=RenderConfig(nx=64, ny=64, spp=10, max_depth=100, seed=0),
+        nominal="3-sphere Lambertian scene, 64x64, 10 spp, fixed seed "
+                "(at exact BASELINE spec)",
+        probes=(Probe("sph_c0", (1, 1)), Probe("sph_r", (1,)),
+                Probe("tex_color", (1, 0)), Probe("camera:lookfrom", (1,)),
+                Probe("camera:vfov", ())),
+        # center-sphere interior: keeps the geometry probes' loss off the
+        # silhouettes in both precisions
+        window=(3, 5, 3, 5), window_big=(6, 10, 6, 10),
+    ),
+    ParityConfig(
+        name="config2_rtow_final",
+        scene_fn=lambda: scenes.random_scene(seed=0),
+        config=RenderConfig(nx=64, ny=64, spp=4, max_depth=100, seed=0),
+        nominal="RTOW final scene: metal + dielectric + Lambertian + moving "
+                "spheres (nominal 200x200; 64x64 for the CPU oracle)",
+        # albedo probes only: geometry probes on this scene are dominated by
+        # discrete hit-boundary flips at the tiny grad resolution (FD sees
+        # the flip, AD doesn't); config 1 carries the geometry/camera probes.
+        # tex ids 213/214 are the checker ground's constant children (the
+        # registry appends checker children after all material textures) —
+        # the ground fills the lower frame, so these carry real signal.
+        probes=(Probe("tex_color", (213, 0)), Probe("tex_color", (214, 1))),
+    ),
+    ParityConfig(
+        name="config3_textured",
+        scene_fn=scenes.textured_scene,
+        config=RenderConfig(nx=64, ny=64, spp=4, max_depth=100, seed=0),
+        nominal="textured scene: checker + Perlin noise/marble + image "
+                "texture on sphere",
+        # window = interior of the marble sphere (primary hits mat 1 in
+        # rows 6-9 cols 0-3 at the 16x16 grad resolution), so the
+        # center/radius FD stays on the smooth marble-albedo derivative
+        probes=(Probe("sph_c0", (1, 0), 5e-4), Probe("sph_r", (1,), 5e-4)),
+        window=(3, 5, 0, 2), window_big=(6, 10, 0, 4),
+    ),
+    ParityConfig(
+        name="config4_cornell_light",
+        scene_fn=scenes.cornell_box,
+        config=RenderConfig(nx=64, ny=64, spp=8, max_depth=100, seed=0,
+                            light_sampling=True),
+        nominal="Cornell box + emissive light + mixture-PDF light sampling "
+                "(nominal 512x512; 64x64 for the CPU oracle)",
+        grad_config=_GRAD_CFG.replace(light_sampling=True),
+        probes=(Probe("tex_color", (0, 0)), Probe("rect_k", (0,), 5e-2)),
+    ),
+    ParityConfig(
+        name="config5_bezier",
+        scene_fn=scenes.test_bezier,
+        config=RenderConfig(nx=64, ny=64, spp=4, max_depth=100, seed=0),
+        nominal="bezier scene with differentiable control points "
+                "(nominal 512x512; 64x64 for the CPU oracle)",
+        grad_scene_fn=_grad_bezier_scene,
+        # window = pixels whose centers hit the (widened) ribbon, keeping
+        # the cp finite-difference on the smooth interior derivative
+        probes=(Probe("bez_cp", (0, 1, 1), 1e-3),),
+        window=(3, 5, 2, 6), window_big=(6, 10, 4, 12),
+    ),
+]
+
+BY_NAME = {c.name: c for c in PARITY_CONFIGS}
+
+
+def build(pc: ParityConfig, dtype, for_grads: bool = False,
+          big: bool = False):
+    """Compile (scene, camera, config) for a parity entry at `dtype`."""
+    spec = (pc.grad_scene_fn or pc.scene_fn)() if for_grads else pc.scene_fn()
+    scene = compile_scene(spec.objects, sky=spec.sky, dtype=dtype)
+    cam = spec.camera(dtype=dtype, aspect=1.0)
+    if for_grads:
+        base = _GRAD_CFG_BIG if big else _GRAD_CFG
+        config = (pc.grad_config or _GRAD_CFG)
+        config = base.replace(light_sampling=config.light_sampling)
+    else:
+        config = pc.config
+    if dtype == jnp.float64:
+        config = config.replace(dtype="f64")
+    return scene, cam, config
+
+
+def render_parity_image(pc: ParityConfig, dtype) -> np.ndarray:
+    """Mean radiance image for a parity config (the committed-golden field)."""
+    scene, cam, config = build(pc, dtype)
+    mean, _ = R.render_image(scene, cam, config, dtype=dtype)
+    return np.asarray(mean)
+
+
+def _loss_fn(pc: ParityConfig, dtype, big: bool):
+    """(params, cam_overrides) -> windowed mean image on a grad config."""
+    scene, cam, config = build(pc, dtype, for_grads=True, big=big)
+    params, rest = sb.partition(scene)
+    window = pc.window_big if big else pc.window
+
+    def loss(params, cam_deltas):
+        c = cam
+        for field, delta in cam_deltas.items():
+            c = dataclasses.replace(c, **{field: getattr(c, field) + delta})
+        s = sb.combine(params, rest)
+        mean, _ = R.render_image(s, c, config, dtype=dtype)
+        if window is not None:
+            y0, y1, x0, x1 = window
+            mean = mean[y0:y1, x0:x1]
+        return jnp.mean(mean)
+
+    return loss, params, cam
+
+
+def probe_gradients(pc: ParityConfig, dtype, method: str,
+                    big: bool = False) -> np.ndarray:
+    """Per-probe d(mean image)/d(leaf[idx]) via "ad" or "fd" (central)."""
+    loss, params, cam = _loss_fn(pc, dtype, big)
+    zero_cd = {}
+
+    out = []
+    for pr in pc.probes:
+        if pr.leaf.startswith("camera:"):
+            field = pr.leaf.split(":", 1)[1]
+
+            def f(x, field=field, pr=pr):
+                base = jnp.zeros_like(jnp.asarray(getattr(cam, field)))
+                delta = (base.at[pr.index].add(x) if pr.index
+                         else base + x)
+                return loss(params, {field: delta})
+        else:
+
+            def f(x, pr=pr):
+                p = dict(params)
+                p[pr.leaf] = params[pr.leaf].at[pr.index].add(x)
+                if pr.leaf == "sph_c0" and "sph_c1" in p:
+                    # static spheres keep c1 == c0 (no accidental motion)
+                    p["sph_c1"] = params["sph_c1"].at[pr.index].add(x)
+                return loss(p, zero_cd)
+
+        x0 = jnp.asarray(0.0, dtype)
+        if method == "ad":
+            out.append(float(jax.grad(f)(x0)))
+        else:
+            e = jnp.asarray(pr.eps, dtype)
+            out.append(float((f(e) - f(-e)) / (2.0 * pr.eps)))
+    return np.asarray(out, np.float64)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from . import config as cfg_mod
 from .camera import Camera, get_rays
 from .core import rng
-from .integrator.pool import render_pool
+from .integrator.pool import render_pool_auto
 from .integrator.wavefront import trace_rays
 
 
@@ -88,7 +88,7 @@ def render(scene, cam: Camera, config: cfg_mod.RenderConfig,
 
 def _render_pool_stats(scene, cam, config, state: RenderState):
     """Pool render returning (state, segments, iters) — bench/CLI stats."""
-    raw, segments, iters = render_pool(
+    raw, segments, iters = render_pool_auto(
         scene, cam, config,
         state.raw_sum.reshape(config.n_pixels, 3), state.sample_count)
     new_state = RenderState(raw.reshape(config.ny, config.nx, 3),

@@ -72,6 +72,49 @@ def _cornell_walls(light_wide: bool) -> List[ob.Hittable]:
     ]
 
 
+def three_spheres() -> SceneSpec:
+    """BASELINE config 1 — 3-sphere Lambertian scene (CPU-runnable oracle).
+
+    Not a reference scene: BASELINE.json prescribes it as the minimal parity
+    workload.  Ground + two Lambertian spheres under the gradient sky
+    (sky-color, main.scm:91-95) so every path terminates by escaping."""
+    objs = [
+        ob.Sphere((0, -100.5, -1), 100, ob.Lambertian((0.8, 0.8, 0.0))),
+        ob.Sphere((0, 0, -1), 0.5, ob.Lambertian((0.1, 0.2, 0.5))),
+        ob.Sphere((1, 0, -1), 0.5, ob.Lambertian((0.7, 0.3, 0.3))),
+    ]
+    cam = dict(lookfrom=(0.0, 0.5, 2.0), lookat=(0.0, 0.0, -1.0),
+               vup=(0.0, 1.0, 0.0), vfov=45.0, aspect=1.0,
+               aperture=0.0, focus_dist=1.0, time0=0.0, time1=1.0)
+    return SceneSpec(objs, cam, "gradient")
+
+
+def _parity_test_image() -> np.ndarray:
+    """Deterministic 16x16 RGB test card for the image-texture parity scene."""
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([xx / 15.0, yy / 15.0, ((xx // 2 + yy // 2) % 2).astype(float)],
+                   axis=-1)
+    return img.astype(np.float64)
+
+
+def textured_scene() -> SceneSpec:
+    """BASELINE config 3 — checker + Perlin-noise textures, image texture
+    on a sphere.  Exercises every texture family (texture.scm:12-50),
+    including the image path the reference ships but never calls (its
+    `image-texture`, texture.scm:36-50, has no loader — SURVEY §6.6)."""
+    objs = [
+        ob.Sphere((0, -100.5, -1), 100, ob.Lambertian(CHECKER)),
+        ob.Sphere((-1.1, 0, -1), 0.5, ob.Lambertian(ob.MarbleTexture(4.0))),
+        ob.Sphere((0, 0, -1), 0.5,
+                  ob.Lambertian(ob.ImageTexture(_parity_test_image()))),
+        ob.Sphere((1.1, 0, -1), 0.5, ob.Lambertian(ob.NoiseTexture(2.0))),
+    ]
+    cam = dict(lookfrom=(0.0, 0.5, 2.0), lookat=(0.0, 0.0, -1.0),
+               vup=(0.0, 1.0, 0.0), vfov=45.0, aspect=1.0,
+               aperture=0.0, focus_dist=1.0, time0=0.0, time1=1.0)
+    return SceneSpec(objs, cam, "gradient")
+
+
 def test_scene() -> SceneSpec:
     """main.scm:155-174 — 5-sphere RTOW sampler incl. hollow dielectric."""
     objs = [
@@ -181,6 +224,26 @@ def cornell_klein() -> SceneSpec:
     return SceneSpec(objs, cornell_camera(), "gradient")
 
 
+def points_chain_scene(csv_path: Optional[str] = None,
+                       width: float = 0.1) -> SceneSpec:
+    """main.scm:279-314 (`test-bezier-points`, commented out in the ref) —
+    ground sphere + a CSV-driven Catmull-Rom Bezier chain (points.scm).
+
+    The reference's data files (2-2.csv / points.csv) never shipped, so
+    with csv_path=None a built-in helix point set stands in — the pipeline
+    (load -> window -> cp -> Bezier objects) is identical either way."""
+    from . import points as pts
+    if csv_path is not None:
+        chain = pts.load_bezier_chain(csv_path, width, RED)
+    else:
+        t = np.linspace(0.0, 4.0 * np.pi, 12)
+        helix = np.stack([np.cos(t), 0.15 * t - 0.3, np.sin(t)], axis=1)
+        chain = pts.bezier_objs(pts.points_to_bezier_cps(helix), width, RED)
+    objs = [ob.Sphere((0, -100.5, -1), 100, ob.Lambertian(CHECKER))]
+    objs += chain
+    return SceneSpec(objs, default_camera(), "gradient")
+
+
 def random_scene(seed: int = 0) -> SceneSpec:
     """main.scm:31-89 — RTOW book-1 final scene (arity bug B6 fixed).
 
@@ -217,6 +280,8 @@ def random_scene(seed: int = 0) -> SceneSpec:
 
 
 SCENES = {
+    "three_spheres": three_spheres,
+    "textured": textured_scene,
     "test": test_scene,
     "grid": test_scene_grid,
     "bezier": test_bezier,
@@ -227,4 +292,5 @@ SCENES = {
     "klein": klein_scene,
     "cornell_klein": cornell_klein,
     "random": random_scene,
+    "points_chain": points_chain_scene,
 }

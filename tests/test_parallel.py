@@ -59,6 +59,25 @@ def test_sharded_statistically_matches_unsharded():
     np.testing.assert_allclose(img_sharded.mean(), img_ref.mean(), rtol=0.05)
 
 
+def test_sharded_pool_bit_identical_to_unsharded():
+    # The regeneration pool keys RNG by GLOBAL (pass, pixel) work-item ids
+    # and flushes per pixel in pass-major order, so the sharded pool render
+    # must equal the unsharded one BITWISE (parallel/pool.py contract).
+    from scheme_raytrace_tpu.parallel.pool import render_pool_sharded
+    spec = scenes.cornell_box()
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    cam = spec.camera(aspect=1.0)
+    cfg = RenderConfig(nx=16, ny=16, spp=2, max_depth=6, light_sampling=True,
+                       pool_rays=256)
+    raw8, seg8, _ = render_pool_sharded(scene, cam, cfg, make_mesh(8))
+    raw1, seg1, _ = render_pool_sharded(scene, cam, cfg, make_mesh(1))
+    st, seg0, _ = R.render_with_stats(scene, cam, cfg, R.init_state(cfg))
+    assert np.asarray(raw8).max() > 0
+    np.testing.assert_array_equal(np.asarray(raw8), np.asarray(raw1))
+    np.testing.assert_array_equal(np.asarray(raw8), np.asarray(st.raw_sum))
+    assert int(seg8) == int(seg1) == int(seg0)
+
+
 def test_uneven_rows_rejected():
     scene, cam = _scene()
     mesh = make_mesh(8)

@@ -1,0 +1,75 @@
+"""BASELINE parity tests: the f32 production path vs committed f64 oracle
+goldens at the 5 BASELINE.json configs (VERDICT r1 item 4).
+
+Goldens are produced by `JAX_ENABLE_X64=1 python tools/make_goldens.py`
+(see scheme_raytrace_tpu/parity.py for the oracle definition).  Tolerances:
+the f32 render consumes the SAME counter-hash sample decisions as the f64
+oracle (core/rng.hash_uniforms is integer-exact; _to_unit differs only in
+the final float cast), so images agree to f32 accumulation error except on
+the rare lanes where an f32 rounding flips a branch (dielectric
+reflect/refract, hit boundaries) and a whole sample changes.  We therefore
+bound the MEAN abs error tightly and allow a small fraction of outlier
+pixels, instead of a vacuous loose allclose.
+
+Gradient parity: the generator asserts f64 FD == f64 AD (<2% rel) at
+golden time; here the f32 AD is checked against the committed f64 AD.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scheme_raytrace_tpu import parity
+
+GOLDENS = {
+    pc.name: os.path.join(os.path.dirname(__file__), "goldens",
+                          f"{pc.name}.npz")
+    for pc in parity.PARITY_CONFIGS
+}
+
+
+def _golden(name):
+    path = GOLDENS[name]
+    if not os.path.exists(path):
+        pytest.fail(f"missing golden {path} — run tools/make_goldens.py")
+    return np.load(path)
+
+
+@pytest.mark.parametrize("pc", parity.PARITY_CONFIGS, ids=lambda c: c.name)
+def test_image_matches_f64_oracle(pc):
+    g = _golden(pc.name)
+    img = parity.render_parity_image(pc, jnp.float32)
+    ref = g["image"]
+    assert img.shape == ref.shape
+    assert np.isfinite(img).all()
+
+    diff = np.abs(img.astype(np.float64) - ref)
+    mae = diff.mean()
+    # branch-flip outliers: pixels whose radiance moved by >0.05 (a whole
+    # sample's worth at these spp); must stay rare
+    outlier_frac = (diff.max(axis=-1) > 0.05).mean()
+    assert mae < 5e-3, f"{pc.name}: MAE {mae:.2e} vs f64 oracle"
+    assert outlier_frac < 0.01, (
+        f"{pc.name}: {outlier_frac:.2%} pixels deviate >0.05")
+
+    # the committed FD/AD agreement evidence must be present and tight
+    assert (g["fd_ad_rel_err"] < 0.02).all()
+
+
+@pytest.mark.parametrize("pc", parity.PARITY_CONFIGS, ids=lambda c: c.name)
+def test_gradients_match_f64_oracle(pc):
+    # f32 AD vs committed f64 AD on the BIG grad workload (many paths ->
+    # single f32 branch flips stay below tolerance); the FD==AD claim
+    # itself is asserted at golden time on the small workload and its
+    # achieved error is re-checked from the npz here.
+    g = _golden(pc.name)
+    ad32 = parity.probe_gradients(pc, jnp.float32, "ad", big=True)
+    ad64 = g["grad_ad_big"]
+    assert np.isfinite(ad32).all()
+    scale = np.maximum(np.abs(ad64), 1e-4 + 0.0 * ad64)
+    rel = np.abs(ad32 - ad64) / scale
+    assert (rel < 0.10).all(), (
+        f"{pc.name}: f32 AD {ad32} vs f64 oracle AD {ad64} (rel {rel}) "
+        f"probes {g['probes']}")
