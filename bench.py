@@ -1,11 +1,14 @@
 """Headline benchmark: Cornell box 512x512 with mixture-PDF light sampling
 (BASELINE config 4), rays/s on the available accelerator.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 "rays" counts traced path segments (camera rays + every bounce), measured
 exactly by the regeneration pool's segment counter — not an estimate.
 vs_baseline is against the driver's north-star 1e8 rays/s on a v5e-8,
 prorated to the number of chips actually used (1.25e7 rays/s/chip).
+The same line also reports the fwd+bwd (training-step) rays/s, per the
+BASELINE "fwd and fwd+bwd" wording, and which step implementation ran
+(Pallas megakernel vs jnp fused step).
 
 The reference has no published numbers to compare against (BASELINE.md):
 it is a single-threaded Gauche interpreter, O(minutes) per 200x200 pass.
@@ -14,16 +17,73 @@ it is a single-threaded Gauche interpreter, O(minutes) per 200x200 pass.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
+import jax.numpy as jnp
 
 from scheme_raytrace_tpu import scenes
 from scheme_raytrace_tpu import render as R
 from scheme_raytrace_tpu.config import RenderConfig
 from scheme_raytrace_tpu.scene import compile_scene
+from scheme_raytrace_tpu.scene import build as sb
 
 NORTH_STAR_PER_CHIP = 1e8 / 8  # BASELINE: >1e8 rays/s on a v5e-8 (8 chips)
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _measure_forward(scene, cam, config):
+    """(rays/s, segments) for the pool forward render, median of 3."""
+    import numpy as np
+    st, seg, iters = R.render_with_stats(scene, cam, config,
+                                         R.init_state(config))
+    jax.block_until_ready(st.raw_sum)          # compile + warm-up
+    assert np.asarray(st.raw_sum).max() > 0, "render produced a black frame"
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st, seg, iters = R.render_with_stats(scene, cam, config,
+                                             R.init_state(config))
+        jax.block_until_ready(st.raw_sum)
+        times.append(time.perf_counter() - t0)
+    return int(seg) / sorted(times)[1], int(seg)
+
+
+def _measure_fwd_bwd(scene, cam, config):
+    """Training-step rays/s: value_and_grad of an image loss w.r.t. the
+    differentiable scene leaves, through the reverse-mode regeneration pool
+    (integrator/diff_fused — same estimator and RNG as the forward pool).
+    "rays" counts FORWARD path segments (the same work unit as the forward
+    bench); the time includes the full backward pass, so the number is
+    directly comparable to the forward line (BASELINE: "fwd and fwd+bwd")."""
+    from scheme_raytrace_tpu.integrator import diff_fused
+
+    if not diff_fused.supported(scene, config):
+        raise RuntimeError("fwd+bwd bench scene not covered by diff pool")
+    n_iters = diff_fused.calibrate_iters(scene, cam, config)
+    params, rest = sb.partition(scene)
+
+    def loss_fn(params):
+        s = sb.combine(params, rest)
+        raw, segs, leftover = diff_fused.render_diff_fused(
+            s, cam, config, n_iters)
+        return jnp.sum(raw ** 2) / raw.size, (segs, leftover)
+
+    step = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    (loss, (segs, leftover)), grads = step(params)
+    jax.block_until_ready(grads)               # compile + warm-up
+    assert int(leftover) == 0, "fwd+bwd pool did not drain — raise n_iters"
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (loss, (segs, _)), grads = step(params)
+        jax.block_until_ready(grads)
+        times.append(time.perf_counter() - t0)
+    return int(segs) / sorted(times)[1], int(segs)
 
 
 def main():
@@ -38,24 +98,41 @@ def main():
     scene = compile_scene(spec.objects, sky=spec.sky)
     cam = spec.camera(aspect=1.0)
 
-    # Warm-up / compile, then the timed run on a fresh accumulator.
-    st, seg, iters = R.render_with_stats(scene, cam, config,
-                                         R.init_state(config))
-    jax.block_until_ready(st.raw_sum)
+    # Forward (pool; Pallas megakernel on TPU via the mosaic_lowers gate).
+    # Belt-and-braces: any failure on the default path retries with the jnp
+    # fused step so the driver bench always records a number (VERDICT r2 #1).
+    step_impl = "auto"
+    try:
+        fwd_rays_s, fwd_segs = _measure_forward(scene, cam, config)
+    except Exception as e:  # noqa: BLE001
+        _log(f"bench: default path failed ({type(e).__name__}: {e}); "
+             "retrying with use_pallas=False")
+        config = config.replace(use_pallas=False)
+        step_impl = "jnp-fallback"
+        fwd_rays_s, fwd_segs = _measure_forward(scene, cam, config)
 
-    t0 = time.perf_counter()
-    st, seg, iters = R.render_with_stats(scene, cam, config,
-                                         R.init_state(config))
-    jax.block_until_ready(st.raw_sum)
-    dt = time.perf_counter() - t0
+    # fwd+bwd at a reduced frame (the rays/s number is segments-based and
+    # workload-size independent); full 100-bounce cap — the diff pool's
+    # occupancy does not depend on it.
+    bwd_cfg = config.replace(nx=min(size, 256), ny=min(size, 256),
+                             spp=min(spp, 4))
+    try:
+        bwd_rays_s, bwd_segs = _measure_fwd_bwd(scene, cam, bwd_cfg)
+    except Exception as e:  # noqa: BLE001
+        _log(f"bench: fwd+bwd measurement failed ({type(e).__name__}: {e})")
+        bwd_rays_s, bwd_segs = None, None
 
-    rays_per_s = int(seg) / dt
     print(json.dumps({
         "metric": "rays/s (path segments, Cornell 512x512 light-sampled)"
                   if is_tpu else "rays/s (path segments, Cornell 64x64, CPU fallback)",
-        "value": rays_per_s,
+        "value": fwd_rays_s,
         "unit": "rays/s",
-        "vs_baseline": rays_per_s / (NORTH_STAR_PER_CHIP * n_chips),
+        "vs_baseline": fwd_rays_s / (NORTH_STAR_PER_CHIP * n_chips),
+        "fwd_bwd_rays_per_s": bwd_rays_s,
+        "fwd_bwd_workload": f"{bwd_cfg.nx}x{bwd_cfg.ny} spp{bwd_cfg.spp} "
+                            f"depth{bwd_cfg.max_depth}",
+        "step_impl": step_impl,
+        "n_chips": n_chips,
     }))
 
 

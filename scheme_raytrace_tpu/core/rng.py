@@ -89,9 +89,10 @@ def hash_uniforms_tuple(seed, item, depth, ncols: int, dtype=jnp.float32,
     # int64 and bitcasting 64->32 bits would append a (2,) axis
     item = jax.lax.bitcast_convert_type(jnp.asarray(item, jnp.int32),
                                         jnp.uint32)
-    depth = jax.lax.bitcast_convert_type(jnp.asarray(depth, jnp.int32),
-                                         jnp.uint32)
-    depth = jnp.broadcast_to(depth, item.shape)
+    # broadcast BEFORE the bitcast: Mosaic's tpu.bitcast needs a vector
+    # operand, and a scalar `depth` (e.g. CAMERA_DEPTH) would reach it 0-d
+    depth = jnp.broadcast_to(jnp.asarray(depth, jnp.int32), item.shape)
+    depth = jax.lax.bitcast_convert_type(depth, jnp.uint32)
     seed_u = jnp.broadcast_to(jnp.uint32(seed & 0xFFFFFFFF), item.shape)
     cols = []
     for g in range((ncols + 3) // 4):

@@ -329,10 +329,12 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
         nsel, asel, bsel = (_v(pk, b + R_NSEL), _v(pk, b + R_ASEL),
                             _v(pk, b + R_BSEL))
         dn = dot3(d_l, nsel)
+        dn_ok = dn != 0.0                          # rays in the rect plane
+        dn = jnp.where(dn_ok, dn, 1.0)
         t = (pk[b + R_K] - dot3(o_l, nsel)) / dn   # geometry.scm:378-379
         pa = dot3(o_l, asel) + t * dot3(d_l, asel)
         pb = dot3(o_l, bsel) + t * dot3(d_l, bsel)
-        ok = ((t >= t_min) & (t <= big) & (pk[b + R_VALID] > 0.5)
+        ok = (dn_ok & (t >= t_min) & (t <= big) & (pk[b + R_VALID] > 0.5)
               & (pa >= pk[b + R_A0]) & (pa <= pk[b + R_A1])
               & (pb >= pk[b + R_B0]) & (pb <= pk[b + R_B1]))
         wn = tuple(jnp.broadcast_to(pk[b + R_WN + i], shp).astype(dt)
@@ -538,7 +540,9 @@ def step(plan: BouncePlan, pk, gitem, px, py, fresh, alive, depth,
     # --- unit ball draw (metal fuzz; util.scm:9-15 analytic) ----------------
     bz = 2.0 * u[9] - 1.0
     bphi = _TWO_PI * u[10]
-    br = jnp.cbrt(u[11])
+    # cbrt via pow: Mosaic has no cbrt lowering (tools/probe_pallas_ops.py);
+    # u[11] >= 0 so the pow form is exact enough for a fuzz-radius draw.
+    br = jnp.power(u[11], 1.0 / 3.0)
     bs = jnp.sqrt(jnp.maximum(1.0 - bz * bz, 0.0))
     ball = (br * bs * jnp.cos(bphi), br * bs * jnp.sin(bphi), br * bz)
 
@@ -664,3 +668,33 @@ def as_pallas(plan: BouncePlan, m: int, block_rows: int = 256,
                 f(outs[13]) != 0)
 
     return stepfn
+
+
+@functools.lru_cache(maxsize=64)
+def mosaic_lowers(plan: BouncePlan, m: int, dtype_name: str) -> bool:
+    """True iff the Pallas megakernel lowers through Mosaic for this plan.
+
+    Round 2 shipped a kernel that only ever ran in interpret mode and died
+    on the chip (`cbrt` has no Mosaic lowering) — this gate lowers the real
+    kernel with abstract inputs at trace time, so an unsupported primitive
+    downgrades auto mode to the jnp step instead of crashing the render.
+    Cached per (plan, m, dtype); the lowering itself takes O(seconds) once.
+    """
+    import warnings
+
+    dt = jnp.dtype({"f32": "float32", "f64": "float64"}.get(dtype_name,
+                                                            dtype_name))
+    stepfn = as_pallas(plan, m)
+    sd = lambda d: jax.ShapeDtypeStruct((m,), d)
+    v3 = lambda: (sd(dt), sd(dt), sd(dt))
+    try:
+        jax.jit(stepfn, static_argnums=(0,)).lower(
+            plan, jax.ShapeDtypeStruct((plan.size,), dt),
+            sd(jnp.int32), sd(dt), sd(dt), sd(bool), sd(bool),
+            sd(jnp.int32), v3(), v3(), sd(dt), v3(), v3())
+        return True
+    except Exception as e:  # noqa: BLE001 — any lowering failure disables
+        warnings.warn(
+            f"Pallas megakernel failed Mosaic lowering; falling back to the "
+            f"jnp fused step: {type(e).__name__}: {e}")
+        return False

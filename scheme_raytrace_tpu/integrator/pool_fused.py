@@ -63,19 +63,39 @@ def _issue(item, config, sample_base, n_pix, pix0, total_pix):
 
 
 def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
-                      total_pix=None, vary_axes=()):
-    """Drop-in render_pool with the fused bounce; same return contract."""
+                      total_pix=None, vary_axes=(), static_iters=None):
+    """Drop-in render_pool with the fused bounce; same return contract.
+
+    `static_iters=None` (forward rendering) drains the work queue with a
+    `while_loop`.  A static iteration count switches to a fixed-length
+    `scan` — the REVERSE-MODE-DIFFERENTIABLE pool (integrator/diff_fused):
+    same estimator, same RNG, bit-identical image, but with a static trip
+    count so jax.grad applies; the caller must size static_iters to drain
+    the queue (checked via the returned leftover count).  The scan path
+    always uses the jnp step (the Pallas megakernel has no VJP).
+    """
     n_pix = raw0.shape[0]
     total_pix = config.n_pixels if total_pix is None else total_pix
     n_work = n_pix * config.spp
-    m = max(128, min(config.pool_rays, ((n_work + 127) // 128) * 128))
+    # Both bounds 128-aligned: a user-set --pool-rays that is not a multiple
+    # of 128 must not leak through (bounce.as_pallas asserts m % 128 == 0).
+    pool_cap = max(128, config.pool_rays // 128 * 128)
+    m = max(128, min(pool_cap, ((n_work + 127) // 128) * 128))
     dtype = raw0.dtype
     F = FLUSH_EVERY
 
     plan = bounce.make_plan(scene, config)
     pk = bounce.pack(scene, cam, plan, dtype)
-    use_pallas = (config.use_pallas if config.use_pallas is not None
-                  else jax.default_backend() == "tpu")
+    # Auto mode gates on a real Mosaic lowering (bounce.mosaic_lowers) so an
+    # unsupported primitive degrades to the jnp step instead of crashing the
+    # render; use_pallas=True skips the gate and fails loudly.
+    if static_iters is not None:
+        use_pallas = False
+    elif config.use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and bounce.mosaic_lowers(plan, m, config.dtype))
+    else:
+        use_pallas = config.use_pallas
     step = bounce.as_pallas(plan, m) if use_pallas else bounce.step
 
     item0 = jnp.arange(m, dtype=jnp.int32)
@@ -161,5 +181,36 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
             seq_pix=jnp.zeros_like(st.seq_pix),
             seq_k=jnp.zeros_like(st.seq_k))
 
-    state = jax.lax.while_loop(lambda s: jnp.any(s.alive), body, state)
-    return state.raw3.T, state.segments, state.iters
+    if static_iters is None:
+        state = jax.lax.while_loop(lambda s: jnp.any(s.alive), body, state)
+        return state.raw3.T, state.segments, state.iters
+
+    # --- fixed-length scan (reverse-mode path) -----------------------------
+    # fori_loop lowers to while_loop (not reverse-differentiable); the same
+    # F-block structure becomes scan-over-blocks with scan-over-F inside,
+    # checkpointed per block so backward stores one carry per F iterations
+    # and recomputes the block's bounce chain.
+    n_blocks = max(1, -(-int(static_iters) // F))
+
+    def block(st: FusedState, _):
+        st, _ = jax.lax.scan(lambda s, __: (bounce_iter(0, s), None),
+                             st, None, length=F)
+        return body_flush(st), None
+
+    def body_flush(st: FusedState) -> FusedState:
+        idx = st.seq_pix.reshape(-1)
+        vals = jnp.stack([st.seq_x.reshape(-1), st.seq_y.reshape(-1),
+                          st.seq_z.reshape(-1)], axis=0)
+        raw3 = st.raw3.at[:, idx].add(vals)
+        return st._replace(
+            raw3=raw3,
+            seq_x=jnp.zeros_like(st.seq_x), seq_y=jnp.zeros_like(st.seq_y),
+            seq_z=jnp.zeros_like(st.seq_z),
+            seq_pix=jnp.zeros_like(st.seq_pix),
+            seq_k=jnp.zeros_like(st.seq_k))
+
+    state, _ = jax.lax.scan(jax.checkpoint(block), state, None,
+                            length=n_blocks)
+    leftover = (jnp.sum(state.alive, dtype=jnp.int32)
+                + (n_work - state.next_w))
+    return state.raw3.T, state.segments, leftover
