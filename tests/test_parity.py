@@ -30,13 +30,23 @@ GOLDENS = {
 }
 
 
+GOLDEN_KEYS = ("image", "grad_fd", "grad_ad", "fd_ad_rel_err",
+               "grad_ad_big", "probes", "nominal")
+
+
 def _golden(name):
     path = GOLDENS[name]
     if not os.path.exists(path):
         pytest.fail(f"missing golden {path} — run tools/make_goldens.py")
-    return np.load(path)
+    g = np.load(path)
+    missing = [k for k in GOLDEN_KEYS if k not in g.files]
+    if missing:
+        pytest.fail(f"stale golden {path}: missing {missing} — regenerate "
+                    "with JAX_ENABLE_X64=1 python tools/make_goldens.py")
+    return g
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("pc", parity.PARITY_CONFIGS, ids=lambda c: c.name)
 def test_image_matches_f64_oracle(pc):
     g = _golden(pc.name)
@@ -58,6 +68,7 @@ def test_image_matches_f64_oracle(pc):
     assert (g["fd_ad_rel_err"] < 0.02).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("pc", parity.PARITY_CONFIGS, ids=lambda c: c.name)
 def test_gradients_match_f64_oracle(pc):
     # f32 AD vs committed f64 AD on the BIG grad workload (many paths ->
@@ -68,8 +79,11 @@ def test_gradients_match_f64_oracle(pc):
     ad32 = parity.probe_gradients(pc, jnp.float32, "ad", big=True)
     ad64 = g["grad_ad_big"]
     assert np.isfinite(ad32).all()
-    scale = np.maximum(np.abs(ad64), 1e-4 + 0.0 * ad64)
+    # scale floor at 5% of the config's dominant gradient: a probe whose
+    # true gradient is ~0 (e.g. a radius probe through a centered window)
+    # is judged against the config's gradient scale, not its own noise
+    scale = np.maximum(np.abs(ad64), 0.05 * np.abs(ad64).max() + 1e-7)
     rel = np.abs(ad32 - ad64) / scale
-    assert (rel < 0.10).all(), (
+    assert (rel < pc.f32_grad_rtol).all(), (
         f"{pc.name}: f32 AD {ad32} vs f64 oracle AD {ad64} (rel {rel}) "
         f"probes {g['probes']}")

@@ -37,9 +37,14 @@ from scheme_raytrace_tpu import parity  # noqa: E402
 
 def main():
     grads_only = "--grads-only" in sys.argv
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
     os.makedirs(parity.GOLDEN_DIR, exist_ok=True)
     failures = []
     for pc in parity.PARITY_CONFIGS:
+        if only is not None and pc.name != only:
+            continue
         print(f"[{pc.name}] probing {len(pc.probes)} gradients "
               "(f64 FD+AD small, AD big)...", flush=True)
         fd = parity.probe_gradients(pc, jnp.float64, "fd")
@@ -54,7 +59,19 @@ def main():
             continue
         ad_big = parity.probe_gradients(pc, jnp.float64, "ad", big=True)
         print(f"[{pc.name}] ad_big={ad_big}", flush=True)
+        path = os.path.join(parity.GOLDEN_DIR, f"{pc.name}.npz")
         if grads_only:
+            # refresh ONLY the gradient fields of the committed golden,
+            # keeping the (expensive) oracle image as-is
+            if not os.path.exists(path):
+                failures.append(f"{pc.name}: --grads-only but {path} missing")
+                continue
+            old = dict(np.load(path, allow_pickle=False))
+            old.update(grad_fd=fd, grad_ad=ad, fd_ad_rel_err=err,
+                       grad_ad_big=ad_big)
+            np.savez_compressed(path, **old)
+            print(f"[{pc.name}] refreshed gradient fields in {path}",
+                  flush=True)
             continue
 
         print(f"[{pc.name}] rendering f64 oracle image "
@@ -63,7 +80,6 @@ def main():
         img = parity.render_parity_image(pc, jnp.float64)
         assert np.isfinite(img).all(), f"{pc.name}: non-finite oracle image"
 
-        path = os.path.join(parity.GOLDEN_DIR, f"{pc.name}.npz")
         np.savez_compressed(
             path, image=img, grad_fd=fd, grad_ad=ad, fd_ad_rel_err=err,
             grad_ad_big=ad_big,
