@@ -84,11 +84,39 @@ def intersect(o, d, time, scene, t_min, t_max, n_seeds: int = 32,
     s = jnp.broadcast_to(s, cx.shape[:2] + (n_seeds,))   # [N,B,K]
     a0, a1, a2, a3 = (x[..., None, :] for x in (a0, a1, a2, a3))
 
+    import jax
+
     for _ in range(n_newton):
         g, dg, d2g = g_and_derivs(s)
         step = dg / jnp.where(d2g > 1e-12, d2g, 1e-12)   # damped: only convex
         step = jnp.where(d2g > 1e-12, step, 0.0)
         s = jnp.clip(s - step, 0.0, 1.0)
+
+    # Differentiate the ROOT, not the iteration: the unrolled Newton tape is
+    # ill-conditioned in f32 (divisions by d2g ~ eps amplify across steps —
+    # seen as a 1800x gradient blow-up in the parity harness).  The root s*
+    # of dg(s, p) = 0 has implicit derivative ds*/dp = -(d(dg)/dp)/d2g; we
+    # attach exactly that with a primal-zero correction: stop_gradient the
+    # converged s, then subtract (dg/d2g - stop_gradient(dg/d2g)), whose
+    # primal is 0 and whose gradient is the implicit one.  Roots pinned at
+    # the s in {0,1} boundary keep zero derivative (correct: the clamp, not
+    # the stationarity condition, defines them), handled by the d2g guard.
+    s = jax.lax.stop_gradient(s)
+    _, dg, d2g = g_and_derivs(s)
+    # Scale-relative curvature floor: at a grazing hit the distance minimum
+    # flattens (d2g -> 0) and the implicit derivative ds*/dp = -(ddg/dp)/d2g
+    # diverges — an unbounded-variance gradient estimator (observed: one
+    # seed contributing 4e3 to a ~1 mean).  Flooring the denominator at a
+    # fraction of the tangent-speed scale 2|C'(s)|^2 (the d2g of a locally
+    # straight curve) bounds the estimator while leaving well-conditioned
+    # roots untouched; the floor is scale-invariant across scene units.
+    ss = s[..., None]
+    c1 = a1 + ss * (2.0 * a2 + ss * (3.0 * a3))
+    d2g_scale = 2.0 * jnp.sum(c1 * c1, axis=-1)
+    interior = (s > 0.0) & (s < 1.0)
+    d2g_safe = jnp.maximum(d2g, 0.05 * d2g_scale + 1e-12)
+    corr = jnp.where(interior, dg / d2g_safe, 0.0)
+    s = s - (corr - jax.lax.stop_gradient(corr))
 
     g, _, _ = g_and_derivs(s)
     az0, az1, az2, az3 = power_coeffs(cz[..., None])     # [N,B,1] each

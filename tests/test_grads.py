@@ -119,6 +119,39 @@ def test_bezier_cp_gradient_finite_nonzero():
     assert np.abs(np.asarray(g["bez_cp"])).max() > 0.0
 
 
+def test_bezier_hit_t_gradient_matches_fd():
+    # Pointwise d(t_hit)/d(cp) through the implicit-differentiated Newton
+    # root (ops/bezier.py): AD must match central FD tightly — this is the
+    # kernel-level gradient-correctness claim, independent of the chaotic
+    # render-level integrands the parity harness averages over.
+    from scheme_raytrace_tpu.ops import bezier as bz
+    import dataclasses
+
+    cp0 = np.array([[-1, 0, -1], [-0.8, 1, 1], [0.8, -1, 1], [1, 0, -1]],
+                   float)
+    objs = [ob.Bezier(cp0, 0.7, ob.Lambertian((0.5, 0.5, 0.5)))]
+    scene = compile_scene(objs, sky="black")
+    o = jnp.asarray([[0.1, 0.05, -5.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+
+    def t_of(cp_leaf):
+        s2 = dataclasses.replace(scene, bez_cp=cp_leaf[None])
+        hit, t, *_ = bz.intersect(o, d, jnp.zeros(1, jnp.float32), s2,
+                                  1e-3, 1e9)
+        return t[0]
+
+    cp = jnp.asarray(cp0, jnp.float32)
+    assert float(t_of(cp)) < 1e8, "probe ray must hit the curve"
+    ad = np.asarray(jax.grad(t_of)(cp))
+    eps = 1e-3
+    for (i, j) in [(0, 2), (1, 1), (2, 0), (3, 2)]:
+        cp_p = cp0.copy(); cp_p[i, j] += eps
+        cp_m = cp0.copy(); cp_m[i, j] -= eps
+        fd = (float(t_of(jnp.asarray(cp_p, jnp.float32)))
+              - float(t_of(jnp.asarray(cp_m, jnp.float32)))) / (2 * eps)
+        np.testing.assert_allclose(ad[i, j], fd, rtol=0.02, atol=1e-4)
+
+
 def test_no_nan_grads_shading_point_inside_sphere_light():
     # Round-1 regression: sqrt(1 - r^2/d^2) NaN'd in reverse-mode whenever a
     # shading point sat within `radius` of a sphere light (incl. padded
