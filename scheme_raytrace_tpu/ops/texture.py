@@ -34,12 +34,11 @@ def value(scene, tex_id, u, v, p):
     if scene.has_perlin_tex:
         scale = scene.tex_scale[tex_id]
         # texture.scm:25-28 — raw noise (range ~[-1,1], reproduced as-is)
-        gray_noise = perlin.noise(scene.perlin_ranvec, scene.perlin_perm,
-                                  p * scale[..., None])
+        gray_noise = perlin.noise(scene.perlin_seed, p * scale[..., None])
         # texture.scm:30-34 — marble: 0.5*(1+sin(sc*z + 10*turb(p)))
         gray_marble = 0.5 * (1.0 + jnp.sin(
             scale * p[..., 2]
-            + 10.0 * perlin.turb(scene.perlin_ranvec, scene.perlin_perm, p)))
+            + 10.0 * perlin.turb(scene.perlin_seed, p)))
         out = jnp.where((ttype == sb.TEX_NOISE)[..., None],
                         gray_noise[..., None], out)
         out = jnp.where((ttype == sb.TEX_MARBLE)[..., None],

@@ -57,8 +57,6 @@ _DATA_FIELDS = [
     "tex_image", "tex_iw", "tex_ih", "images",
     # flat threaded sphere BVH (scene/bvh.py; geometry.scm:217-374)
     "bvh_pmin", "bvh_pmax", "bvh_hit", "bvh_miss", "bvh_prims",
-    # perlin tables
-    "perlin_ranvec", "perlin_perm",
     # sky gradient endpoints (black sky = both zero)
     "sky_a", "sky_b",
     # light-sampling targets
@@ -66,7 +64,8 @@ _DATA_FIELDS = [
 ]
 _META_FIELDS = ["has_spheres", "has_rects", "has_media", "has_beziers",
                 "has_klein", "n_lights", "has_perlin_tex", "has_image_tex",
-                "has_checker_tex", "has_moving", "has_rect_xform", "has_bvh"]
+                "has_checker_tex", "has_moving", "has_rect_xform", "has_bvh",
+                "perlin_seed"]
 
 
 @dataclasses.dataclass
@@ -95,7 +94,6 @@ class Scene:
     tex_child0: jnp.ndarray; tex_child1: jnp.ndarray; tex_scale: jnp.ndarray
     tex_image: jnp.ndarray; tex_iw: jnp.ndarray; tex_ih: jnp.ndarray
     images: jnp.ndarray
-    perlin_ranvec: jnp.ndarray; perlin_perm: jnp.ndarray
     sky_a: jnp.ndarray; sky_b: jnp.ndarray
     light_kind: jnp.ndarray; light_rect: jnp.ndarray
     light_center: jnp.ndarray; light_radius: jnp.ndarray
@@ -113,6 +111,9 @@ class Scene:
     has_moving: bool = False        # any sphere with center0 != center1
     has_rect_xform: bool = False    # any rect with a non-identity transform
     has_bvh: bool = False           # flat sphere BVH arrays populated
+    # hash-noise seed (static; replaces the reference's load-time tables,
+    # perlin.scm:32-36 — see scene/perlin.py)
+    perlin_seed: int = 0
 
     @property
     def dtype(self):
@@ -487,8 +488,6 @@ def compile_scene(objs: Sequence[ob.Hittable], sky: str = "black",
                       np.full((1, 4), -1, np.int32))
         has_bvh = False
 
-    ranvec, perm = perlin_mod.generate_tables(perlin_seed)
-
     f = lambda x: jnp.asarray(x, dtype)
     i32 = lambda x: jnp.asarray(x, jnp.int32)
     return Scene(
@@ -511,7 +510,7 @@ def compile_scene(objs: Sequence[ob.Hittable], sky: str = "black",
         bvh_prims=i32(bvh_arrays[4]),
         mat_type=mat_type, mat_tex=mat_tex, mat_fuzz=mat_fuzz, mat_ref=mat_ref,
         **tex_fields,
-        perlin_ranvec=f(ranvec), perlin_perm=jnp.asarray(perm),
+        perlin_seed=perlin_seed,
         sky_a=f(sky_a), sky_b=f(sky_b),
         light_kind=i32(light_kind), light_rect=f(light_rect),
         light_center=f(light_center), light_radius=f(light_radius),

@@ -61,39 +61,51 @@ def test_image_texture_lookup():
     np.testing.assert_allclose(out[1], [0.0, 1.0, 0.0], atol=1e-2)
 
 
-def test_perlin_tables_deterministic():
-    r1, p1 = perlin.generate_tables(7)
-    r2, p2 = perlin.generate_tables(7)
-    r3, _ = perlin.generate_tables(8)
-    np.testing.assert_array_equal(r1, r2)
-    np.testing.assert_array_equal(p1, p2)
-    assert not np.allclose(r1, r3)
-    np.testing.assert_allclose(np.linalg.norm(r1, axis=-1), 1.0, atol=1e-12)
-    for row in p1:
-        np.testing.assert_array_equal(np.sort(row), np.arange(256))
+def test_perlin_noise_deterministic_and_seeded():
+    pts = jnp.asarray(np.random.default_rng(1).uniform(-10, 10, (256, 3)),
+                      jnp.float32)
+    a = np.asarray(perlin.noise(7, pts))
+    b = np.asarray(perlin.noise(7, pts))
+    c = np.asarray(perlin.noise(8, pts))
+    np.testing.assert_array_equal(a, b)     # same seed -> same field
+    assert not np.allclose(a, c)            # different seed -> different field
 
 
 def test_perlin_noise_zero_at_lattice_and_smooth():
-    ranvec, perm = perlin.generate_tables(0)
-    rv, pm = jnp.asarray(ranvec, jnp.float32), jnp.asarray(perm)
     # gradient noise vanishes at lattice points
     lattice = jnp.asarray(np.mgrid[0:3, 0:3, 0:3].reshape(3, -1).T,
                           jnp.float32)
-    np.testing.assert_allclose(np.asarray(perlin.noise(rv, pm, lattice)), 0.0,
+    np.testing.assert_allclose(np.asarray(perlin.noise(0, lattice)), 0.0,
                                atol=1e-5)
-    # bounded roughly in [-1, 1]
+    # bounded roughly in [-1, 1], and actually varying
     pts = jnp.asarray(np.random.default_rng(1).uniform(-10, 10, (512, 3)),
                       jnp.float32)
-    vals = np.asarray(perlin.noise(rv, pm, pts))
+    vals = np.asarray(perlin.noise(0, pts))
     assert np.abs(vals).max() <= 1.0
     assert vals.std() > 0.05
+    # continuity across a lattice boundary (no cell-seam jumps)
+    eps = 1e-3
+    lo = np.asarray(perlin.noise(0, jnp.asarray([[1.0 - eps, 0.5, 0.5]],
+                                                jnp.float32)))
+    hi = np.asarray(perlin.noise(0, jnp.asarray([[1.0 + eps, 0.5, 0.5]],
+                                                jnp.float32)))
+    assert abs(float(lo) - float(hi)) < 0.01
+
+
+def test_perlin_soa_matches_array_form():
+    pts = np.random.default_rng(3).uniform(-4, 4, (128, 3)).astype(np.float32)
+    p = jnp.asarray(pts)
+    a = perlin.noise(5, p)
+    b = perlin.noise_xyz(5, p[:, 0], p[:, 1], p[:, 2])
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ta = perlin.turb(5, p)
+    tb = perlin.turb_xyz(5, p[:, 0], p[:, 1], p[:, 2])
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
 
 
 def test_turb_nonnegative():
-    ranvec, perm = perlin.generate_tables(0)
-    rv, pm = jnp.asarray(ranvec, jnp.float32), jnp.asarray(perm)
     pts = jnp.asarray(np.random.default_rng(2).uniform(-5, 5, (256, 3)),
                       jnp.float32)
-    vals = np.asarray(perlin.turb(rv, pm, pts))
+    vals = np.asarray(perlin.turb(0, pts))
     assert vals.min() >= 0.0
     assert vals.std() > 0.01
