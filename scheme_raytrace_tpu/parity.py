@@ -148,7 +148,7 @@ PARITY_CONFIGS: List[ParityConfig] = [
         # window = interior of the marble sphere (primary hits mat 1 in
         # rows 6-9 cols 0-3 at the 16x16 grad resolution), so the
         # center/radius FD stays on the smooth marble-albedo derivative
-        probes=(Probe("sph_c0", (1, 0), 5e-4), Probe("sph_r", (1,), 5e-4)),
+        probes=(Probe("sph_c0", (1, 0), 1e-4), Probe("sph_r", (1,), 1e-4)),
         window=(3, 5, 0, 2), window_big=(6, 10, 0, 4),
         # geometry gradients THROUGH marble are chaotic: measured f64
         # seed-to-seed std is 40-70% of the gradient mean at this workload
