@@ -37,7 +37,12 @@ def _log(*a):
 
 
 def _measure_forward(scene, cam, config):
-    """(rays/s, segments) for the pool forward render, median of 3."""
+    """(rays/s, segments) for the pool forward render, median of 3.
+
+    Timed runs CHAIN the accumulation state (real progressive-render
+    usage): every call has different inputs, so no transport/result-cache
+    layer can fake the timing, and a device->host fetch inside the timed
+    region forces completion."""
     import numpy as np
     st, seg, iters = R.render_with_stats(scene, cam, config,
                                          R.init_state(config))
@@ -46,9 +51,8 @@ def _measure_forward(scene, cam, config):
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        st, seg, iters = R.render_with_stats(scene, cam, config,
-                                             R.init_state(config))
-        jax.block_until_ready(st.raw_sum)
+        st, seg, iters = R.render_with_stats(scene, cam, config, st)
+        float(st.raw_sum[0, 0, 0])
         times.append(time.perf_counter() - t0)
     return int(seg) / sorted(times)[1], int(seg)
 
@@ -79,9 +83,12 @@ def _measure_fwd_bwd(scene, cam, config):
     assert int(leftover) == 0, "fwd+bwd pool did not drain — raise n_iters"
     times = []
     for _ in range(3):
+        # chain params (a real SGD step) so every timed call has new inputs
+        params = jax.tree.map(lambda p, g: p - 1e-6 * g, params, grads)
         t0 = time.perf_counter()
         (loss, (segs, _)), grads = step(params)
         jax.block_until_ready(grads)
+        float(loss)
         times.append(time.perf_counter() - t0)
     return int(segs) / sorted(times)[1], int(segs)
 

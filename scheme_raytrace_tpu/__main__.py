@@ -25,6 +25,8 @@ import numpy as np
 
 def _build(args):
     import jax
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
     from . import render as R
     from . import scenes
     from .config import RenderConfig
@@ -98,6 +100,42 @@ def cmd_scenes(_args):
         print(name)
 
 
+def cmd_probe(args):
+    """Debug one pixel (the reference's mouse probe, main.scm:555-561,
+    printed the clicked coordinate; this prints the pixel's actual per-
+    sample radiance and path statistics)."""
+    import jax.numpy as jnp
+    jax, R, scene, cam, config = _build(args)
+    from .camera import get_rays
+    from .core import rng
+    from .integrator.wavefront import trace_rays_full
+
+    n = args.samples
+    dtype = config.jnp_dtype
+    x, y = args.x, args.y
+    print(f"[probe] scene={args.scene} pixel=({x}, {y}) "
+          f"(row 0 = image bottom), {n} samples")
+    key = rng.root_key(config.seed)
+    k_jit, k_lens, k_trace = jax.random.split(jax.random.fold_in(key, 0), 3)
+    xi = jax.random.uniform(k_jit, (n, 2), dtype)
+    u = (x + xi[:, 0]) / config.nx                    # main.scm:456-457
+    v = (y + xi[:, 1]) / config.ny
+    o, d, time = get_rays(cam, u, v, k_lens)
+    fin = trace_rays_full(scene, o, d, time, k_trace, config)
+    rad = np.asarray(fin.radiance)
+    segs = int(fin.segments)
+    for i in range(min(n, args.show)):
+        print(f"[probe]   sample {i}: radiance = "
+              f"({rad[i, 0]:.5f}, {rad[i, 1]:.5f}, {rad[i, 2]:.5f})")
+    mean = rad.mean(axis=0)
+    print(f"[probe] mean radiance  = ({mean[0]:.5f}, {mean[1]:.5f}, "
+          f"{mean[2]:.5f})")
+    g = np.minimum(np.sqrt(np.maximum(mean, 0.0)), 1.0)
+    u8 = [int(c) for c in np.floor(255.99 * g)]
+    print(f"[probe] display (u8)   = ({u8[0]}, {u8[1]}, {u8[2]})")
+    print(f"[probe] mean path len  = {segs / n:.2f} segments/sample")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="scheme_raytrace_tpu",
@@ -127,10 +165,32 @@ def main(argv=None):
                    help="persist accumulation state after each chunk")
     r.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
+    r.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (skip any TPU tunnel)")
     r.set_defaults(fn=cmd_render)
 
     s = sub.add_parser("scenes", help="list available scenes")
     s.set_defaults(fn=cmd_scenes)
+
+    p = sub.add_parser("probe", help="debug one pixel (radiance/path stats)")
+    p.add_argument("x", type=int)
+    p.add_argument("y", type=int, help="row 0 = image bottom (PPM order "
+                   "flips on write, main.scm:445)")
+    p.add_argument("--scene", default="cornell")
+    p.add_argument("--nx", type=int, default=200)
+    p.add_argument("--ny", type=int, default=200)
+    p.add_argument("--max-depth", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--light-sampling", action="store_true")
+    p.add_argument("--bvh", choices=["none", "median", "sah"],
+                   default="none")
+    p.add_argument("--pool-rays", type=int, default=128 * 1024)
+    p.add_argument("--chunk", type=int, default=4, help=argparse.SUPPRESS)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--samples", type=int, default=64)
+    p.add_argument("--show", type=int, default=8,
+                   help="print the first N per-sample radiances")
+    p.set_defaults(fn=cmd_probe)
 
     args = ap.parse_args(argv)
     args.fn(args)

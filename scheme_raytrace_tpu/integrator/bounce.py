@@ -20,10 +20,11 @@ The SAME traced code runs two ways:
     kernel, per the BASELINE north star), one HBM round-trip per bounce.
 
 Coverage: spheres (static + moving), rects (with baked rigid transforms),
-lambertian/metal/dielectric/diffuse-light, constant + checker textures,
-gradient/black sky, mixture-PDF light sampling (xz-rect + sphere lights).
-Scenes using media/bezier/klein/perlin/image textures take the general
-masked-sweep pool body instead (integrator/pool.py chooses per scene).
+lambertian/metal/dielectric/diffuse-light, constant/checker/noise/marble
+textures (hash perlin computed in register — scene/perlin.py), gradient/
+black sky, mixture-PDF light sampling (xz-rect + sphere lights).  Scenes
+using media/bezier/klein/image textures take the general masked-sweep pool
+body instead (integrator/pool.py chooses per scene).
 """
 
 from __future__ import annotations
@@ -98,13 +99,17 @@ HDR_SIZE = 27
 # per-rect fields (world normal premultiplied by flip at pack time)
 R_K, R_A0, R_A1, R_B0, R_B1, R_VALID = 0, 1, 2, 3, 4, 5
 R_NSEL, R_ASEL, R_BSEL, R_WN, R_ROT, R_TRANS = 6, 9, 12, 15, 18, 27
-R_MTYPE, R_ALB0, R_ALB1, R_ISCHK, R_FUZZ, R_REF = 30, 31, 34, 37, 38, 39
-RECT_SIZE = 40
+# TEXK = texture kind as float (scene.build TEX_* ids: 0 constant,
+# 1 checker, 2 noise, 3 marble); TEXS = procedural-texture scale
+R_MTYPE, R_ALB0, R_ALB1, R_TEXK, R_FUZZ, R_REF, R_TEXS = (
+    30, 31, 34, 37, 38, 39, 40)
+RECT_SIZE = 41
 
 # per-sphere fields
 S_C0, S_C1, S_T0, S_T1, S_R, S_VALID = 0, 3, 6, 7, 8, 9
-S_MTYPE, S_ALB0, S_ALB1, S_ISCHK, S_FUZZ, S_REF = 10, 11, 14, 17, 18, 19
-SPH_SIZE = 20
+S_MTYPE, S_ALB0, S_ALB1, S_TEXK, S_FUZZ, S_REF, S_TEXS = (
+    10, 11, 14, 17, 18, 19, 20)
+SPH_SIZE = 21
 
 # per-light fields
 L_KIND, L_X0, L_X1, L_Z0, L_Z1, L_KY, L_C, L_RAD, L_VALID = (
@@ -121,6 +126,8 @@ class BouncePlan:
     has_rect_xform: bool
     has_moving: bool
     light_sampling: bool
+    has_perlin: bool
+    perlin_seed: int
     nx: int
     ny: int
     total_pix: int
@@ -158,7 +165,7 @@ def supported(scene, config) -> bool:
     n_prims = ((int(scene.rect_k.shape[0]) if scene.has_rects else 0)
                + (int(scene.sph_r.shape[0]) if scene.has_spheres else 0))
     return not (scene.has_media or scene.has_beziers or scene.has_klein
-                or scene.has_perlin_tex or scene.has_image_tex
+                or scene.has_image_tex
                 or config.russian_roulette or config.traversal == "bvh"
                 or n_prims > MAX_FUSED_PRIMS)
 
@@ -171,12 +178,17 @@ def make_plan(scene, config) -> BouncePlan:
         has_rect_xform=scene.has_rect_xform,
         has_moving=scene.has_moving,
         light_sampling=config.light_sampling and scene.n_lights > 0,
+        has_perlin=scene.has_perlin_tex, perlin_seed=scene.perlin_seed,
         nx=config.nx, ny=config.ny, total_pix=config.n_pixels,
         max_depth=config.max_depth, seed=config.seed, dtype=config.dtype)
 
 
 def _mat_fields(scene, mid):
-    """(mtype, alb0[.,3], alb1[.,3], ischeck) resolved through the tex table."""
+    """(mtype, alb0, alb1, texk, texs) resolved through the tex table.
+
+    texk carries scene.build's TEX_* id as a float (the kernel has no int
+    lanes in the merge); alb0/alb1 are the constant / checker-children
+    colors (zeros for procedural textures — the kernel computes those)."""
     tex = scene.mat_tex[mid]
     ttype = scene.tex_type[tex]
     ischeck = (ttype == sb.TEX_CHECKER)
@@ -185,7 +197,7 @@ def _mat_fields(scene, mid):
                      scene.tex_color[tex])
     alb1 = scene.tex_color[scene.tex_child1[tex]]
     return (scene.mat_type[mid].astype(alb0.dtype), alb0, alb1,
-            ischeck.astype(alb0.dtype))
+            ttype.astype(alb0.dtype), scene.tex_scale[tex])
 
 
 def pack(scene, cam, plan: BouncePlan, dtype):
@@ -206,7 +218,7 @@ def pack(scene, cam, plan: BouncePlan, dtype):
         bsel = eye[jnp.where(axis == 2, 1, 2)]
         rot = scene.rect_rot.astype(dtype)
         wn = jnp.einsum("rij,rj->ri", rot, nsel) * scene.rect_flip[:, None]
-        mtype, alb0, alb1, ischeck = _mat_fields(scene, scene.rect_mat)
+        mtype, alb0, alb1, texk, texs = _mat_fields(scene, scene.rect_mat)
         block = jnp.concatenate([
             scene.rect_k[:, None], scene.rect_a0[:, None],
             scene.rect_a1[:, None], scene.rect_b0[:, None],
@@ -214,22 +226,24 @@ def pack(scene, cam, plan: BouncePlan, dtype):
             scene.rect_valid.astype(dtype)[:, None],
             nsel, asel, bsel, wn, rot.reshape(-1, 9),
             scene.rect_trans.astype(dtype),
-            mtype[:, None], alb0, alb1, ischeck[:, None],
+            mtype[:, None], alb0, alb1, texk[:, None],
             scene.mat_fuzz[scene.rect_mat][:, None],
             scene.mat_ref[scene.rect_mat][:, None],
+            texs[:, None],
         ], axis=1).astype(dtype)
         assert block.shape[1] == RECT_SIZE
         pieces.append(block.ravel())
 
     if plan.n_spheres:
-        mtype, alb0, alb1, ischeck = _mat_fields(scene, scene.sph_mat)
+        mtype, alb0, alb1, texk, texs = _mat_fields(scene, scene.sph_mat)
         block = jnp.concatenate([
             scene.sph_c0, scene.sph_c1, scene.sph_t0[:, None],
             scene.sph_t1[:, None], scene.sph_r[:, None],
             scene.sph_valid.astype(dtype)[:, None],
-            mtype[:, None], alb0, alb1, ischeck[:, None],
+            mtype[:, None], alb0, alb1, texk[:, None],
             scene.mat_fuzz[scene.sph_mat][:, None],
             scene.mat_ref[scene.sph_mat][:, None],
+            texs[:, None],
         ], axis=1).astype(dtype)
         assert block.shape[1] == SPH_SIZE
         pieces.append(block.ravel())
@@ -283,7 +297,7 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
     """Unrolled closest-hit sweep over rects + spheres, material merged in.
 
     Returns dict of per-lane best-hit attributes (hit, t, wn, mtype, alb0,
-    alb1, ischeck, fuzz, ref).
+    alb1, texk, texs, fuzz, ref).
     """
     shp = o[0].shape
     dt = o[0].dtype
@@ -292,11 +306,11 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
     best = {
         "hit": jnp.zeros(shp, bool), "t": jnp.full(shp, t_max, dt),
         "wn": (z, z, z), "mtype": z, "alb0": (z, z, z), "alb1": (z, z, z),
-        "ischeck": z, "fuzz": z, "ref": z,
+        "texk": z, "texs": z, "fuzz": z, "ref": z,
     }
 
-    def merge(ok, t, wn, base, a0_off, a1_off, m_off, chk_off, fz_off,
-              rf_off):
+    def merge(ok, t, wn, base, a0_off, a1_off, m_off, tk_off, fz_off,
+              rf_off, ts_off):
         closer = ok & (t < best["t"])
         best["hit"] = best["hit"] | closer
         best["t"] = jnp.where(closer, t, best["t"])
@@ -306,8 +320,8 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
                                             for i in range(3)), best["alb0"])
         best["alb1"] = where3(closer, tuple(pk[base + a1_off + i]
                                             for i in range(3)), best["alb1"])
-        best["ischeck"] = jnp.where(closer, pk[base + chk_off],
-                                    best["ischeck"])
+        best["texk"] = jnp.where(closer, pk[base + tk_off], best["texk"])
+        best["texs"] = jnp.where(closer, pk[base + ts_off], best["texs"])
         best["fuzz"] = jnp.where(closer, pk[base + fz_off], best["fuzz"])
         best["ref"] = jnp.where(closer, pk[base + rf_off], best["ref"])
 
@@ -339,7 +353,8 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
               & (pb >= pk[b + R_B0]) & (pb <= pk[b + R_B1]))
         wn = tuple(jnp.broadcast_to(pk[b + R_WN + i], shp).astype(dt)
                    for i in range(3))
-        merge(ok, t, wn, b, R_ALB0, R_ALB1, R_MTYPE, R_ISCHK, R_FUZZ, R_REF)
+        merge(ok, t, wn, b, R_ALB0, R_ALB1, R_MTYPE, R_TEXK, R_FUZZ,
+              R_REF, R_TEXS)
 
     for s in range(plan.n_spheres):
         b = plan.sph_base + s * SPH_SIZE
@@ -368,7 +383,8 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
         # normal (p - c)/r: sign(r) keeps the hollow-dielectric flip
         inv_r = 1.0 / rr
         wn = tuple((o[i] + t * d[i] - c[i]) * inv_r for i in range(3))
-        merge(ok, t, wn, b, S_ALB0, S_ALB1, S_MTYPE, S_ISCHK, S_FUZZ, S_REF)
+        merge(ok, t, wn, b, S_ALB0, S_ALB1, S_MTYPE, S_TEXK, S_FUZZ,
+              S_REF, S_TEXS)
 
     return best
 
@@ -503,10 +519,25 @@ def step(plan: BouncePlan, pk, gitem, px, py, fresh, alive, depth,
     rad = tuple(rad[i] + jnp.where(missed, tp[i] * sky[i], 0.0)
                 for i in range(3))
 
-    # --- texture (constant/checker, texture.scm:12-23) ---------------------
+    # --- texture (texture.scm:12-34) ----------------------------------------
+    texk = rec["texk"]
     sines = jnp.sin(10.0 * p[0]) * jnp.sin(10.0 * p[1]) * jnp.sin(10.0 * p[2])
-    use1 = (rec["ischeck"] > 0.5) & (sines < 0.0)
+    use1 = (texk == float(sb.TEX_CHECKER)) & (sines < 0.0)
     alb = where3(use1, rec["alb1"], rec["alb0"])
+    if plan.has_perlin:
+        # hash perlin computed in register (scene/perlin.py is SoA and
+        # Mosaic-safe by construction — same PCG4D recurrence as the RNG)
+        from ..scene import perlin as perlin_mod
+        ts = rec["texs"]
+        gray_n = perlin_mod.noise_xyz(plan.perlin_seed, p[0] * ts,
+                                      p[1] * ts, p[2] * ts)
+        gray_m = 0.5 * (1.0 + jnp.sin(
+            ts * p[2] + 10.0 * perlin_mod.turb_xyz(plan.perlin_seed,
+                                                   p[0], p[1], p[2])))
+        alb = where3(texk == float(sb.TEX_NOISE),
+                     (gray_n, gray_n, gray_n), alb)
+        alb = where3(texk == float(sb.TEX_MARBLE),
+                     (gray_m, gray_m, gray_m), alb)
 
     # --- emission (material.scm:103-111) ------------------------------------
     mtype = rec["mtype"]

@@ -4,6 +4,7 @@ with the forward pool, gradient sanity, and FD agreement."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scheme_raytrace_tpu import render as R
 from scheme_raytrace_tpu import scenes
@@ -26,6 +27,7 @@ def test_supported_covers_cornell():
     assert diff_fused.supported(scene, CFG)
 
 
+@pytest.mark.slow
 def test_image_bit_identical_to_pool():
     # Same pool, same RNG, same flush order — with a drained queue the
     # differentiable render must reproduce the forward pool image BITWISE.
@@ -49,6 +51,7 @@ def test_undersized_iters_reports_leftover():
     assert int(leftover) > 0
 
 
+@pytest.mark.slow
 def test_gradients_finite_and_nonzero():
     scene, cam = _cornell()
     n_iters = diff_fused.calibrate_iters(scene, cam, CFG)
@@ -65,6 +68,7 @@ def test_gradients_finite_and_nonzero():
     assert any(np.abs(np.asarray(v)).max() > 0 for v in g.values())
 
 
+@pytest.mark.slow
 def test_grad_matches_fd():
     # Smooth probe: the light's emission intensity is linear in the image —
     # FD and AD through the pool must agree tightly.
