@@ -98,8 +98,12 @@ def main():
     is_tpu = jax.devices()[0].platform != "cpu"
     size = 512 if is_tpu else 64          # CPU fallback stays runnable
     spp = 16 if is_tpu else 1
+    # pool_rays=48k: measured optimum for this workload on v5e (sweep:
+    # 32k 48.4M / 48k 49.1M / 64k 46.3M / 128k 42.9M / 256k 37.1M rays/s —
+    # smaller pools amortize the drain tail over more work generations)
     config = RenderConfig(nx=size, ny=size, spp=spp, max_depth=100,
-                          light_sampling=True, seed=0)
+                          light_sampling=True, seed=0,
+                          pool_rays=(48 * 1024) if is_tpu else 8192)
 
     spec = scenes.cornell_box()
     scene = compile_scene(spec.objects, sky=spec.sky)
@@ -118,11 +122,11 @@ def main():
         step_impl = "jnp-fallback"
         fwd_rays_s, fwd_segs = _measure_forward(scene, cam, config)
 
-    # fwd+bwd at a reduced frame (the rays/s number is segments-based and
-    # workload-size independent); full 100-bounce cap — the diff pool's
-    # occupancy does not depend on it.
-    bwd_cfg = config.replace(nx=min(size, 256), ny=min(size, 256),
-                             spp=min(spp, 4))
+    # fwd+bwd at full frame, half spp (enough work generations to amortize
+    # the drain tail), full 100-bounce cap — the diff pool's occupancy does
+    # not depend on it.  m=64k measured best for the reverse-mode pool.
+    bwd_cfg = config.replace(spp=max(1, spp // 2),
+                             pool_rays=(64 * 1024) if is_tpu else 8192)
     try:
         bwd_rays_s, bwd_segs = _measure_fwd_bwd(scene, cam, bwd_cfg)
     except Exception as e:  # noqa: BLE001

@@ -96,14 +96,19 @@ H_CAM_O, H_CAM_LL, H_CAM_H, H_CAM_V, H_CAM_U, H_CAM_VV = 6, 9, 12, 15, 18, 21
 H_LENS_R, H_T0, H_DT = 24, 25, 26
 HDR_SIZE = 27
 
-# per-rect fields (world normal premultiplied by flip at pack time)
-R_K, R_A0, R_A1, R_B0, R_B1, R_VALID = 0, 1, 2, 3, 4, 5
-R_NSEL, R_ASEL, R_BSEL, R_WN, R_ROT, R_TRANS = 6, 9, 12, 15, 18, 27
+# per-rect fields — ORIENTED-PLANE representation, fully world-space:
+# the reference's rotate/translate instancing (geometry.scm:465-543) is
+# baked into a world plane at pack time (normal WN, plane constant K =
+# WN.point, in-plane edge axes A/B with projected ranges), so the kernel
+# never rotates rays: a rotated Cornell box rect costs exactly the same
+# ~6 dot products as an axis-aligned wall.
+R_WN, R_K, R_A, R_KA0, R_KA1, R_B, R_KB0, R_KB1, R_VALID = (
+    0, 3, 4, 7, 8, 9, 12, 13, 14)
 # TEXK = texture kind as float (scene.build TEX_* ids: 0 constant,
 # 1 checker, 2 noise, 3 marble); TEXS = procedural-texture scale
 R_MTYPE, R_ALB0, R_ALB1, R_TEXK, R_FUZZ, R_REF, R_TEXS = (
-    30, 31, 34, 37, 38, 39, 40)
-RECT_SIZE = 41
+    15, 16, 19, 22, 23, 24, 25)
+RECT_SIZE = 26
 
 # per-sphere fields
 S_C0, S_C1, S_T0, S_T1, S_R, S_VALID = 0, 3, 6, 7, 8, 9
@@ -123,7 +128,6 @@ class BouncePlan:
     n_rects: int
     n_spheres: int
     n_lights: int
-    has_rect_xform: bool
     has_moving: bool
     light_sampling: bool
     has_perlin: bool
@@ -175,7 +179,6 @@ def make_plan(scene, config) -> BouncePlan:
         n_rects=int(scene.rect_k.shape[0]) if scene.has_rects else 0,
         n_spheres=int(scene.sph_r.shape[0]) if scene.has_spheres else 0,
         n_lights=scene.n_lights if config.light_sampling else 0,
-        has_rect_xform=scene.has_rect_xform,
         has_moving=scene.has_moving,
         light_sampling=config.light_sampling and scene.n_lights > 0,
         has_perlin=scene.has_perlin_tex, perlin_seed=scene.perlin_seed,
@@ -217,15 +220,24 @@ def pack(scene, cam, plan: BouncePlan, dtype):
         asel = eye[jnp.where(axis == 0, 1, 0)]
         bsel = eye[jnp.where(axis == 2, 1, 2)]
         rot = scene.rect_rot.astype(dtype)
-        wn = jnp.einsum("rij,rj->ri", rot, nsel) * scene.rect_flip[:, None]
+        trans = scene.rect_trans.astype(dtype)
+        # world-space plane: object test p_obj . sel ∈ range, with
+        # p_obj = R^T (p - T), becomes p . (R sel) ∈ range + T . (R sel)
+        n_w = jnp.einsum("rij,rj->ri", rot, nsel)
+        a_w = jnp.einsum("rij,rj->ri", rot, asel)
+        b_w = jnp.einsum("rij,rj->ri", rot, bsel)
+        tn = jnp.sum(trans * n_w, axis=1)
+        ta = jnp.sum(trans * a_w, axis=1)
+        tb = jnp.sum(trans * b_w, axis=1)
+        flip = scene.rect_flip.astype(dtype)
+        wn = n_w * flip[:, None]
+        kk = (scene.rect_k + tn) * flip            # so t = (K - o.wn)/(d.wn)
         mtype, alb0, alb1, texk, texs = _mat_fields(scene, scene.rect_mat)
         block = jnp.concatenate([
-            scene.rect_k[:, None], scene.rect_a0[:, None],
-            scene.rect_a1[:, None], scene.rect_b0[:, None],
-            scene.rect_b1[:, None],
+            wn, kk[:, None],
+            a_w, (scene.rect_a0 + ta)[:, None], (scene.rect_a1 + ta)[:, None],
+            b_w, (scene.rect_b0 + tb)[:, None], (scene.rect_b1 + tb)[:, None],
             scene.rect_valid.astype(dtype)[:, None],
-            nsel, asel, bsel, wn, rot.reshape(-1, 9),
-            scene.rect_trans.astype(dtype),
             mtype[:, None], alb0, alb1, texk[:, None],
             scene.mat_fuzz[scene.rect_mat][:, None],
             scene.mat_ref[scene.rect_mat][:, None],
@@ -327,31 +339,19 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
 
     for r in range(plan.n_rects):
         b = plan.rect_base + r * RECT_SIZE
-        if plan.has_rect_xform:
-            rot = [pk[b + R_ROT + i] for i in range(9)]
-            tr = _v(pk, b + R_TRANS)
-            om = sub3(o, tr)
-            # object space: R^T x
-            o_l = (rot[0] * om[0] + rot[3] * om[1] + rot[6] * om[2],
-                   rot[1] * om[0] + rot[4] * om[1] + rot[7] * om[2],
-                   rot[2] * om[0] + rot[5] * om[1] + rot[8] * om[2])
-            d_l = (rot[0] * d[0] + rot[3] * d[1] + rot[6] * d[2],
-                   rot[1] * d[0] + rot[4] * d[1] + rot[7] * d[2],
-                   rot[2] * d[0] + rot[5] * d[1] + rot[8] * d[2])
-        else:
-            o_l, d_l = o, d
-        nsel, asel, bsel = (_v(pk, b + R_NSEL), _v(pk, b + R_ASEL),
-                            _v(pk, b + R_BSEL))
-        dn = dot3(d_l, nsel)
+        wn_s = _v(pk, b + R_WN)
+        dn = dot3(d, wn_s)
         dn_ok = dn != 0.0                          # rays in the rect plane
         dn = jnp.where(dn_ok, dn, 1.0)
-        t = (pk[b + R_K] - dot3(o_l, nsel)) / dn   # geometry.scm:378-379
-        pa = dot3(o_l, asel) + t * dot3(d_l, asel)
-        pb = dot3(o_l, bsel) + t * dot3(d_l, bsel)
+        t = (pk[b + R_K] - dot3(o, wn_s)) / dn     # geometry.scm:378-379
+        av = _v(pk, b + R_A)
+        bv = _v(pk, b + R_B)
+        pa = dot3(o, av) + t * dot3(d, av)
+        pb = dot3(o, bv) + t * dot3(d, bv)
         ok = (dn_ok & (t >= t_min) & (t <= big) & (pk[b + R_VALID] > 0.5)
-              & (pa >= pk[b + R_A0]) & (pa <= pk[b + R_A1])
-              & (pb >= pk[b + R_B0]) & (pb <= pk[b + R_B1]))
-        wn = tuple(jnp.broadcast_to(pk[b + R_WN + i], shp).astype(dt)
+              & (pa >= pk[b + R_KA0]) & (pa <= pk[b + R_KA1])
+              & (pb >= pk[b + R_KB0]) & (pb <= pk[b + R_KB1]))
+        wn = tuple(jnp.broadcast_to(wn_s[i], shp).astype(dt)
                    for i in range(3))
         merge(ok, t, wn, b, R_ALB0, R_ALB1, R_MTYPE, R_TEXK, R_FUZZ,
               R_REF, R_TEXS)
@@ -627,6 +627,22 @@ def step(plan: BouncePlan, pk, gitem, px, py, fresh, alive, depth,
 # ---------------------------------------------------------------------------
 
 
+class _SmemPk:
+    """Scalar-indexed view of the packed scene in SMEM.
+
+    `step` only ever indexes pk with static ints (pk[base + OFF]); inside
+    the kernel each such read becomes one SMEM scalar load, which Mosaic
+    feeds to vector ops as a scalar operand — no lane materialization."""
+
+    __slots__ = ("ref",)
+
+    def __init__(self, ref):
+        self.ref = ref
+
+    def __getitem__(self, i):
+        return self.ref[0, i]
+
+
 def as_pallas(plan: BouncePlan, m: int, block_rows: int = 256,
               interpret: bool = False):
     """Wrap `step` as a Pallas TPU kernel over an m-lane pool.
@@ -653,7 +669,7 @@ def as_pallas(plan: BouncePlan, m: int, block_rows: int = 256,
                rx_r, ry_r, rz_r, tx_r, ty_r, tz_r,
                o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_t,
                o_rx, o_ry, o_rz, o_tx, o_ty, o_tz, o_sc):
-        pk = pk_ref[0, :]
+        pk = _SmemPk(pk_ref)
         o, d, time, rad, tp, scattering = step(
             plan, pk, gitem_ref[:], px_ref[:], py_ref[:],
             fresh_ref[:] != 0, alive_ref[:] != 0, depth_ref[:],
@@ -669,8 +685,11 @@ def as_pallas(plan: BouncePlan, m: int, block_rows: int = 256,
 
     lane_spec = pl.BlockSpec((br, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
+    # Scene scalars live in SMEM: each pk[i] is a scalar load feeding
+    # scalar-operand vector ALU ops — a VMEM pk would pay a vector element
+    # extract + full-lane broadcast for every one of the ~40*n_prims reads
     pk_spec = pl.BlockSpec((1, P), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
+                           memory_space=pltpu.SMEM)
 
     def stepfn(plan_, pk, gitem, px, py, fresh, alive, depth, o, d, time,
                rad, tp):
@@ -699,6 +718,93 @@ def as_pallas(plan: BouncePlan, m: int, block_rows: int = 256,
                 f(outs[13]) != 0)
 
     return stepfn
+
+
+N_PACKED = 16     # packed pool-state row groups: item, fresh, depth,
+                  # o(3), d(3), time, rad(3), tp(3) — ints bitcast to f32
+
+
+def as_pallas_packed(plan: BouncePlan, m: int, n_work: int, n_pix: int,
+                     pix0: int, total_pix: int, interpret: bool = False):
+    """Single-buffer fused step: (pk, sample_base, state) -> state.
+
+    The profiled bottleneck of the per-bounce loop is NOT compute but the
+    per-buffer sequencing overhead at the kernel/loop boundary (~constant
+    per-iteration cost from m=8k to m=48k).  This wrapper moves the whole
+    pool state into ONE (16*rows, 128) f32 buffer (ints bitcast), and the
+    strided work re-issue INTO the kernel, so one bounce iteration is a
+    single one-in/one-out kernel: lane L processes work items L, L+m,
+    L+2m... (same per-pixel pass order and work-item-keyed RNG as the FIFO
+    pool — identical estimator).  Terminated-path radiance is read back
+    from the state by the caller (rad slots hold the completed path until
+    the lane's next regen; fresh==1 marks them; the completed item is
+    item - m).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert m % 128 == 0, m
+    rows = m // 128
+    P = plan.size
+
+    def kernel(pk_ref, sb_ref, st_in, st_out):
+        st_out[:] = st_in[:]
+
+        def rd(i):
+            return st_out[i * rows:(i + 1) * rows, :]
+
+        def wr(i, v):
+            st_out[i * rows:(i + 1) * rows, :] = v
+
+        bc_i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        bc_f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        pk = _SmemPk(pk_ref)
+        sample_base = sb_ref[0]
+
+        item = bc_i(rd(0))
+        fresh = rd(1) != 0.0
+        depth = bc_i(rd(2))
+        o = (rd(3), rd(4), rd(5))
+        d = (rd(6), rd(7), rd(8))
+        time = rd(9)
+        rad = (rd(10), rd(11), rd(12))
+        tp = (rd(13), rd(14), rd(15))
+        dt = time.dtype
+
+        alive = item < n_work
+        pix_local = jax.lax.rem(item, n_pix)
+        gpix = pix0 + pix_local
+        gitem = (sample_base + jax.lax.div(item, n_pix)) * total_pix + gpix
+        ys = jax.lax.div(gpix, plan.nx)
+        xs = jax.lax.rem(gpix, plan.nx)
+
+        o, d, time, rad, tp, scattering = step(
+            plan, pk, gitem, xs.astype(dt), ys.astype(dt),
+            fresh & alive, alive, depth, o, d, time, rad, tp)
+
+        terminated = alive & ~scattering
+        wr(0, bc_f(jnp.where(terminated, item + jnp.int32(m), item)))
+        wr(1, terminated.astype(jnp.float32))
+        wr(2, bc_f(jnp.where(scattering, depth + 1, 0)))
+        for i, v in enumerate(o):
+            wr(3 + i, v)
+        for i, v in enumerate(d):
+            wr(6 + i, v)
+        wr(9, time)
+        for i, v in enumerate(rad):
+            wr(10 + i, v)
+        for i, v in enumerate(tp):
+            wr(13 + i, v)
+
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM), spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((N_PACKED * rows, 128), jnp.float32),
+        interpret=interpret,
+    )
 
 
 @functools.lru_cache(maxsize=64)
