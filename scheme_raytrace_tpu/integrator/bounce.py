@@ -159,9 +159,21 @@ class BouncePlan:
         return self.sph_base + self.n_spheres * SPH_SIZE
 
 
-# Above this primitive count the unrolled sweep makes compiles slow and a
-# BVH wins anyway — such scenes take the general pool (sweep or BVH path).
-MAX_FUSED_PRIMS = 64
+# Per prim GROUP: up to this count the sweep unrolls with constant packed
+# offsets; above it, a fori_loop with dynamic packed offsets keeps compile
+# size O(1) in prim count (see _intersect).  The loop form compiles and
+# matches the unrolled form under XLA, but the Mosaic TPU backend's
+# compiler crashes on it at scale — so Pallas is gated to unrolled sizes
+# (pallas_ok) and larger scenes run the SAME fused step as plain jnp.
+UNROLL_MAX = 64
+# Hard cap only bounds the packed-scene footprint (~40KB at 2048 mixed
+# prims); bigger scenes take the general pool's BVH.
+MAX_FUSED_PRIMS = 2048
+
+
+def pallas_ok(plan: "BouncePlan") -> bool:
+    """Megakernel eligibility: groups small enough to unroll."""
+    return plan.n_rects <= UNROLL_MAX and plan.n_spheres <= UNROLL_MAX
 
 
 def supported(scene, config) -> bool:
@@ -321,24 +333,26 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
         "texk": z, "texs": z, "fuzz": z, "ref": z,
     }
 
-    def merge(ok, t, wn, base, a0_off, a1_off, m_off, tk_off, fz_off,
-              rf_off, ts_off):
+    def merge(best, ok, t, wn, base, a0_off, a1_off, m_off, tk_off,
+              fz_off, rf_off, ts_off):
         closer = ok & (t < best["t"])
-        best["hit"] = best["hit"] | closer
-        best["t"] = jnp.where(closer, t, best["t"])
-        best["wn"] = where3(closer, wn, best["wn"])
-        best["mtype"] = jnp.where(closer, pk[base + m_off], best["mtype"])
-        best["alb0"] = where3(closer, tuple(pk[base + a0_off + i]
-                                            for i in range(3)), best["alb0"])
-        best["alb1"] = where3(closer, tuple(pk[base + a1_off + i]
-                                            for i in range(3)), best["alb1"])
-        best["texk"] = jnp.where(closer, pk[base + tk_off], best["texk"])
-        best["texs"] = jnp.where(closer, pk[base + ts_off], best["texs"])
-        best["fuzz"] = jnp.where(closer, pk[base + fz_off], best["fuzz"])
-        best["ref"] = jnp.where(closer, pk[base + rf_off], best["ref"])
+        return {
+            "hit": best["hit"] | closer,
+            "t": jnp.where(closer, t, best["t"]),
+            "wn": where3(closer, wn, best["wn"]),
+            "mtype": jnp.where(closer, pk[base + m_off], best["mtype"]),
+            "alb0": where3(closer, tuple(pk[base + a0_off + i]
+                                         for i in range(3)), best["alb0"]),
+            "alb1": where3(closer, tuple(pk[base + a1_off + i]
+                                         for i in range(3)), best["alb1"]),
+            "texk": jnp.where(closer, pk[base + tk_off], best["texk"]),
+            "texs": jnp.where(closer, pk[base + ts_off], best["texs"]),
+            "fuzz": jnp.where(closer, pk[base + fz_off], best["fuzz"]),
+            "ref": jnp.where(closer, pk[base + rf_off], best["ref"]),
+        }
 
-    for r in range(plan.n_rects):
-        b = plan.rect_base + r * RECT_SIZE
+    def rect_probe(best, b):
+        """b = packed base offset of one rect (static OR traced int)."""
         wn_s = _v(pk, b + R_WN)
         dn = dot3(d, wn_s)
         dn_ok = dn != 0.0                          # rays in the rect plane
@@ -353,11 +367,11 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
               & (pb >= pk[b + R_KB0]) & (pb <= pk[b + R_KB1]))
         wn = tuple(jnp.broadcast_to(wn_s[i], shp).astype(dt)
                    for i in range(3))
-        merge(ok, t, wn, b, R_ALB0, R_ALB1, R_MTYPE, R_TEXK, R_FUZZ,
-              R_REF, R_TEXS)
+        return merge(best, ok, t, wn, b, R_ALB0, R_ALB1, R_MTYPE, R_TEXK,
+                     R_FUZZ, R_REF, R_TEXS)
 
-    for s in range(plan.n_spheres):
-        b = plan.sph_base + s * SPH_SIZE
+    def sphere_probe(best, b):
+        """b = packed base offset of one sphere (static OR traced int)."""
         c0 = _v(pk, b + S_C0)
         if plan.has_moving:
             span = pk[b + S_T1] - pk[b + S_T0]
@@ -383,8 +397,30 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
         # normal (p - c)/r: sign(r) keeps the hollow-dielectric flip
         inv_r = 1.0 / rr
         wn = tuple((o[i] + t * d[i] - c[i]) * inv_r for i in range(3))
-        merge(ok, t, wn, b, S_ALB0, S_ALB1, S_MTYPE, S_TEXK, S_FUZZ,
-              S_REF, S_TEXS)
+        return merge(best, ok, t, wn, b, S_ALB0, S_ALB1, S_MTYPE, S_TEXK,
+                     S_FUZZ, S_REF, S_TEXS)
+
+    # Small prim groups unroll (constant offsets, best codegen); large
+    # groups run a fori_loop with DYNAMIC packed offsets — pk lives in
+    # SMEM inside the kernel, so pk[traced_i] is one scalar load (the
+    # scalar-prefetch pattern), and compile size stays O(1) in prim count.
+    if plan.n_rects <= UNROLL_MAX:
+        for r in range(plan.n_rects):
+            best = rect_probe(best, plan.rect_base + r * RECT_SIZE)
+    else:
+        best = jax.lax.fori_loop(
+            0, plan.n_rects,
+            lambda r, bst: rect_probe(bst, plan.rect_base + r * RECT_SIZE),
+            best)
+
+    if plan.n_spheres <= UNROLL_MAX:
+        for s in range(plan.n_spheres):
+            best = sphere_probe(best, plan.sph_base + s * SPH_SIZE)
+    else:
+        best = jax.lax.fori_loop(
+            0, plan.n_spheres,
+            lambda s, bst: sphere_probe(bst, plan.sph_base + s * SPH_SIZE),
+            best)
 
     return best
 

@@ -93,6 +93,7 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
         use_pallas = False
     elif config.use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
+                      and bounce.pallas_ok(plan)
                       and bounce.mosaic_lowers(plan, m, config.dtype))
     else:
         use_pallas = config.use_pallas

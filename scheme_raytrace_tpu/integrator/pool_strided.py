@@ -63,6 +63,7 @@ def render_pool_strided(scene, cam, config, raw0, sample_base, pix0=0,
     pk = bounce.pack(scene, cam, plan, dtype)
     if config.use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
+                      and bounce.pallas_ok(plan)
                       and bounce.mosaic_lowers(plan, m, config.dtype))
     else:
         use_pallas = config.use_pallas

@@ -65,11 +65,16 @@ def test_fused_matches_vector_moving_spheres():
     _assert_close(f, v)
 
 
-def test_big_scenes_fall_back_to_sweep():
-    cfg = CFG
-    scene = compile_scene(scenes.random_scene(seed=3).objects,
-                          sky="gradient")
-    assert not bounce.supported(scene, cfg)   # >64 prims -> general pool
+def test_big_scene_runs_fused_prim_loop():
+    # >32 prims take the in-kernel fori_loop sweep (dynamic SMEM offsets);
+    # the fused image must still match the general masked-sweep pool
+    spec = scenes.random_scene(seed=3)
+    cfg = RenderConfig(nx=8, ny=8, spp=1, max_depth=4, use_pallas=False)
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    assert bounce.supported(scene, cfg)
+    assert (int(scene.sph_r.shape[0]) > bounce.UNROLL_MAX)
+    f, v, *_ = _render_both(spec, cfg)
+    _assert_close(f, v)
 
 
 def test_fused_matches_vector_sphere_light():
