@@ -50,16 +50,24 @@ def scene_hit(o, d, time, scene, t_min, t_max, xi_medium, config) -> HitRec:
     best = (jnp.zeros(n, bool), jnp.full(n, t_max, dt), jnp.zeros((n, 3), dt),
             jnp.zeros(n, jnp.int32), jnp.zeros(n, dt), jnp.zeros(n, dt))
 
-    if scene.has_spheres:
-        # Flat threaded BVH (geometry.scm:217-374) when compiled into the
-        # scene and selected; the stackless while_loop traversal is
-        # forward-only, so the differentiable path keeps the brute sweep.
-        use_bvh = (config.traversal == "bvh" and scene.has_bvh
-                   and not config.differentiable)
-        isect = sphere.intersect_bvh if use_bvh else sphere.intersect
-        best = _merge(best, isect(o, d, time, scene, t_min, t_max))
-    if scene.has_rects:
-        best = _merge(best, rect.intersect(o, d, time, scene, t_min, t_max))
+    # Flat threaded BVH (geometry.scm:217-374) when compiled into the
+    # scene and selected; one tree spans BOTH analytic groups (global ids,
+    # like the reference's BVH of arbitrary hittables).  The stackless
+    # while_loop traversal is forward-only, so the differentiable path
+    # keeps the brute sweeps.
+    use_bvh = (config.traversal == "bvh" and scene.has_bvh
+               and not config.differentiable)
+    if use_bvh and (scene.has_spheres or scene.has_rects):
+        from ..ops import traverse
+        best = _merge(best, traverse.intersect_bvh_mixed(
+            o, d, time, scene, t_min, t_max))
+    else:
+        if scene.has_spheres:
+            best = _merge(best, sphere.intersect(o, d, time, scene,
+                                                 t_min, t_max))
+        if scene.has_rects:
+            best = _merge(best, rect.intersect(o, d, time, scene,
+                                               t_min, t_max))
     if scene.has_beziers:
         best = _merge(best, bezier.intersect(
             o, d, time, scene, t_min, t_max,

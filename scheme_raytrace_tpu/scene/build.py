@@ -473,10 +473,26 @@ def compile_scene(objs: Sequence[ob.Hittable], sky: str = "black",
     else:
         sky_a, sky_b = np.asarray(sky[0], np.float64), np.asarray(sky[1], np.float64)
 
-    # ---- sphere BVH (optional) ---------------------------------------------
-    if bvh is not None and spheres:
+    # ---- analytic-prim BVH (optional) ---------------------------------------
+    # Global prim ids: spheres [0, nS), rects [nS, nS + nR) — one tree over
+    # both groups, like the reference's BVH of arbitrary hittables
+    # (geometry.scm:217-260; beziers/klein keep their own sweeps: ~3 curves
+    # per scene gain nothing from a tree, and the SDF is a single object).
+    if bvh is not None and (spheres or rects):
         from . import bvh as bvh_mod
-        b_pmin, b_pmax = bvh_mod.sphere_bounds(sph_c0, sph_c1, sph_r)
+        parts_min, parts_max = [], []
+        if spheres:
+            s_pmin, s_pmax = bvh_mod.sphere_bounds(sph_c0, sph_c1, sph_r)
+            parts_min.append(s_pmin)
+            parts_max.append(s_pmax)
+        if rects:
+            r_pmin, r_pmax = bvh_mod.rect_bounds(
+                rect_axis, rect_k, rect_a0, rect_a1, rect_b0, rect_b1,
+                rect_rot, rect_trans)
+            parts_min.append(r_pmin)
+            parts_max.append(r_pmax)
+        b_pmin = np.concatenate(parts_min)
+        b_pmax = np.concatenate(parts_max)
         flat = (bvh_mod.build_sah(b_pmin, b_pmax) if bvh == "sah"
                 else bvh_mod.build_median(b_pmin, b_pmax, bvh_seed))
         bvh_arrays = (flat.pmin, flat.pmax, flat.hit_link, flat.miss_link,

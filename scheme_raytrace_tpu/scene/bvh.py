@@ -195,3 +195,32 @@ def sphere_bounds(c0: np.ndarray, c1: np.ndarray,
     pmin = np.minimum(c0 - ra, c1 - ra)
     pmax = np.maximum(c0 + ra, c1 + ra)
     return pmin, pmax
+
+
+def rect_bounds(axis, k, a0, a1, b0, b1, rot, trans
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """World AABBs of (possibly rotated/translated) axis rects.
+
+    The reference pads the plane axis by RECT_PAD (geometry.scm:391,410,429)
+    and computes the rotated box's world bounds over the corners
+    (geometry.scm:499-522, with bug B2 fixed).  Corners of the object-space
+    rect map through rot/trans; padding is applied on all axes after the
+    transform (conservative and simpler than transforming the pad)."""
+    nrect = len(axis)
+    pmin = np.zeros((nrect, 3))
+    pmax = np.zeros((nrect, 3))
+    for i in range(nrect):
+        ax = int(axis[i])
+        ia, ib = (1, 2) if ax == 0 else ((0, 2) if ax == 1 else (0, 1))
+        corners = []
+        for pa in (a0[i], a1[i]):
+            for pb in (b0[i], b1[i]):
+                c = np.zeros(3)
+                c[ax] = k[i]
+                c[ia] = pa
+                c[ib] = pb
+                corners.append(rot[i] @ c + trans[i])
+        corners = np.asarray(corners)
+        pmin[i] = corners.min(0) - cfg.RECT_PAD
+        pmax[i] = corners.max(0) + cfg.RECT_PAD
+    return pmin, pmax

@@ -96,21 +96,26 @@ def test_traversal_matches_brute_force(builder):
 
 
 def test_grid_scene_image_identical_brute_vs_bvh():
-    """main.scm:204-235 non-bvh/bvh/bvh-sah triple: same image all three ways."""
+    """main.scm:204-235 non-bvh/bvh/bvh-sah triple: same image all three
+    ways.  The two BVH variants must be IDENTICAL to each other (both run
+    the general pool); the brute render now routes through the FUSED pool
+    (>64-prim loop sweep), whose f32 op ordering differs slightly from the
+    general pool's, so brute-vs-bvh is compared statistically (same
+    estimator, same RNG; at most rare branch-flip pixels)."""
     spec = scenes.test_scene_grid()
     cam = spec.camera(aspect=1.0)
     cfg = RenderConfig(nx=16, ny=16, spp=1, max_depth=4)
-    ref = None
+    imgs = {}
     for builder, traversal in [(None, "brute"), ("median", "bvh"),
                                ("sah", "bvh")]:
         scene = compile_scene(spec.objects, sky=spec.sky, bvh=builder)
         mean, _ = R.render_image(scene, cam, cfg.replace(traversal=traversal))
-        arr = np.asarray(mean)
-        if ref is None:
-            ref = arr
-            assert ref.max() > 0.0
-        else:
-            np.testing.assert_allclose(arr, ref, atol=1e-5)
+        imgs[builder] = np.asarray(mean)
+    assert imgs[None].max() > 0.0
+    np.testing.assert_allclose(imgs["median"], imgs["sah"], atol=1e-5)
+    diff = np.abs(imgs[None] - imgs["median"])
+    assert diff.mean() < 2e-3
+    assert (diff.max(axis=-1) > 0.05).mean() < 0.02
 
 
 def test_bvh_requested_but_absent_falls_back():
@@ -123,3 +128,34 @@ def test_bvh_requested_but_absent_falls_back():
                              RenderConfig(nx=8, ny=8, spp=1, max_depth=2,
                                           traversal="bvh"))
     assert np.isfinite(np.asarray(mean)).all()
+
+
+def test_mixed_scene_image_identical_brute_vs_bvh():
+    """One tree over BOTH analytic groups (spheres + rotated rects): the
+    BVH-traversed image must equal the brute-sweep image (ops/traverse.py
+    vs the per-group sweeps) on a Cornell box with spheres inside."""
+    from scheme_raytrace_tpu.scene import objects as ob
+    spec = scenes.cornell_box()
+    objs = list(spec.objects) + [
+        ob.Sphere((190, 90, 190), 90, ob.Lambertian((0.7, 0.7, 0.7))),
+        ob.Sphere((370, 60, 350), 60, ob.Metal((0.9, 0.8, 0.7), 0.2)),
+    ]
+    cam = spec.camera(aspect=1.0)
+    cfg = RenderConfig(nx=16, ny=16, spp=1, max_depth=5, light_sampling=True)
+    ref = None
+    for builder, traversal in [(None, "brute"), ("median", "bvh"),
+                               ("sah", "bvh")]:
+        scene = compile_scene(objs, sky=spec.sky, bvh=builder)
+        if builder is not None:
+            assert scene.has_bvh
+        mean, _ = R.render_image(scene, cam, cfg.replace(traversal=traversal))
+        arr = np.asarray(mean)
+        assert np.isfinite(arr).all() and arr.max() > 0
+        if ref is None:
+            ref = arr                       # brute (fused pool)
+        else:
+            # bvh variants run the general pool: compare statistically vs
+            # the fused brute (identical estimator, f32 reorder only)
+            diff = np.abs(arr - ref)
+            assert diff.mean() < 2e-3
+            assert (diff.max(axis=-1) > 0.05).mean() < 0.02
