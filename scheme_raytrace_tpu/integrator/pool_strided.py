@@ -50,7 +50,11 @@ class StridedState(NamedTuple):
 
 
 def render_pool_strided(scene, cam, config, raw0, sample_base, pix0=0,
-                        total_pix=None, vary_axes=()):
+                        total_pix=None, vary_axes=(), static_iters=None):
+    """`static_iters=None`: while_loop drain (forward).  A static count
+    switches to a fixed-length scan — the reverse-mode-differentiable
+    variant (same contract as pool_fused's scan mode: returns leftover
+    instead of iters; jnp step only)."""
     n_pix = raw0.shape[0]
     total_pix = config.n_pixels if total_pix is None else total_pix
     n_work = n_pix * config.spp
@@ -61,7 +65,9 @@ def render_pool_strided(scene, cam, config, raw0, sample_base, pix0=0,
 
     plan = bounce.make_plan(scene, config)
     pk = bounce.pack(scene, cam, plan, dtype)
-    if config.use_pallas is None:
+    if static_iters is not None:
+        use_pallas = False
+    elif config.use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and bounce.pallas_ok(plan)
                       and bounce.mosaic_lowers(plan, m, config.dtype))
@@ -134,6 +140,14 @@ def render_pool_strided(scene, cam, config, raw0, sample_base, pix0=0,
         return st._replace(raw3=raw3,
                            seq_pix=jnp.full_like(st.seq_pix, -1))
 
-    state = jax.lax.while_loop(lambda s: jnp.any(s.item < n_work), body,
-                               state)
-    return state.raw3.T, state.segments, state.iters
+    if static_iters is None:
+        state = jax.lax.while_loop(lambda s: jnp.any(s.item < n_work), body,
+                                   state)
+        return state.raw3.T, state.segments, state.iters
+
+    n_blocks = max(1, -(-int(static_iters) // F))
+    state, _ = jax.lax.scan(
+        jax.checkpoint(lambda s, _: (body(s), None)), state, None,
+        length=n_blocks)
+    leftover = jnp.sum(state.item < n_work, dtype=jnp.int32)
+    return state.raw3.T, state.segments, leftover
