@@ -86,10 +86,13 @@ def _measure_fwd_bwd(scene, cam, config):
         # chain params (a real SGD step) so every timed call has new inputs
         params = jax.tree.map(lambda p, g: p - 1e-6 * g, params, grads)
         t0 = time.perf_counter()
-        (loss, (segs, _)), grads = step(params)
+        (loss, (segs, leftover)), grads = step(params)
         jax.block_until_ready(grads)
         float(loss)
         times.append(time.perf_counter() - t0)
+        # timed iterations perturb params — the calibrated n_iters must
+        # still drain the queue or the headline silently drops work
+        assert int(leftover) == 0, "fwd+bwd pool under-drained mid-bench"
     return int(segs) / sorted(times)[1], int(segs)
 
 
@@ -112,26 +115,32 @@ def main():
     # Forward (pool; Pallas megakernel on TPU via the mosaic_lowers gate).
     # Belt-and-braces: any failure on the default path retries with the jnp
     # fused step so the driver bench always records a number (VERDICT r2 #1).
-    step_impl = "auto"
+    from scheme_raytrace_tpu.integrator import pool_fused
+
     try:
         fwd_rays_s, fwd_segs = _measure_forward(scene, cam, config)
     except Exception as e:  # noqa: BLE001
         _log(f"bench: default path failed ({type(e).__name__}: {e}); "
              "retrying with use_pallas=False")
         config = config.replace(use_pallas=False)
-        step_impl = "jnp-fallback"
         fwd_rays_s, fwd_segs = _measure_forward(scene, cam, config)
+    # what the trace actually picked (a silent gate downgrade inside auto
+    # mode is visible here, not masked by "auto")
+    step_impl = pool_fused.LAST_STEP_IMPL.get("forward", "unknown")
 
     # fwd+bwd at full frame, half spp (enough work generations to amortize
     # the drain tail), full 100-bounce cap — the diff pool's occupancy does
-    # not depend on it.  m=64k measured best for the reverse-mode pool.
+    # not depend on it.  m=12k measured best for the reverse-mode pool
+    # (sweep, custom-VJP kernel: 8k 17.5M / 12k 19.1M / 16k 17.6M /
+    # 24k 17.9M / 32k 15.1M / 48k 14.7M / 64k 12.1M / 128k 12.0M rays/s).
     bwd_cfg = config.replace(spp=max(1, spp // 2),
-                             pool_rays=(64 * 1024) if is_tpu else 8192)
+                             pool_rays=(12 * 1024) if is_tpu else 8192)
     try:
         bwd_rays_s, bwd_segs = _measure_fwd_bwd(scene, cam, bwd_cfg)
     except Exception as e:  # noqa: BLE001
         _log(f"bench: fwd+bwd measurement failed ({type(e).__name__}: {e})")
         bwd_rays_s, bwd_segs = None, None
+    bwd_impl = pool_fused.LAST_STEP_IMPL.get("reverse", "unknown")
 
     print(json.dumps({
         "metric": "rays/s (path segments, Cornell 512x512 light-sampled)"
@@ -143,6 +152,7 @@ def main():
         "fwd_bwd_workload": f"{bwd_cfg.nx}x{bwd_cfg.ny} spp{bwd_cfg.spp} "
                             f"depth{bwd_cfg.max_depth}",
         "step_impl": step_impl,
+        "fwd_bwd_step_impl": bwd_impl,
         "n_chips": n_chips,
     }))
 

@@ -20,11 +20,14 @@ The SAME traced code runs two ways:
     kernel, per the BASELINE north star), one HBM round-trip per bounce.
 
 Coverage: spheres (static + moving), rects (with baked rigid transforms),
+constant media (oriented-slab/sphere boundaries, exponential scatter),
+kleinian SDFs (sphere-traced in-kernel, implicit-function t gradients),
+bezier ribbons (Newton-on-seeds, implicit-root gradients),
 lambertian/metal/dielectric/diffuse-light, constant/checker/noise/marble
 textures (hash perlin computed in register — scene/perlin.py), gradient/
 black sky, mixture-PDF light sampling (xz-rect + sphere lights).  Scenes
-using media/bezier/klein/image textures take the general masked-sweep pool
-body instead (integrator/pool.py chooses per scene).
+using image textures, BVH traversal, or russian roulette take the general
+masked-sweep pool body instead (integrator/pool.py chooses per scene).
 """
 
 from __future__ import annotations
@@ -121,6 +124,29 @@ L_KIND, L_X0, L_X1, L_Z0, L_Z1, L_KY, L_C, L_RAD, L_VALID = (
     0, 1, 2, 3, 4, 5, 6, 9, 10)
 LGT_SIZE = 11
 
+# per-medium fields (geometry.scm:545-578): the boundary is an oriented
+# 3-slab box (Cornell smoke's rotate_y+translate boxes baked to world
+# axes at pack time, like the rects) OR a sphere; M_NID = -1/density
+M_KIND = 0                      # 0 box, 1 sphere (scene.build MED_*)
+M_AX = 1                        # 3 x (axis vec3, lo, hi) = 15 floats
+M_C, M_RAD = 16, 19
+M_NID, M_VALID = 20, 21
+M_MTYPE, M_ALB0, M_ALB1, M_TEXK, M_FUZZ, M_REF, M_TEXS = (
+    22, 23, 26, 29, 30, 31, 32)
+MED_SIZE = 33
+
+# per-klein fields (geometry.scm:580-664): center + phase material
+K_C, K_VALID = 0, 3
+K_MTYPE, K_ALB0, K_ALB1, K_TEXK, K_FUZZ, K_REF, K_TEXS = (
+    4, 5, 8, 11, 12, 13, 14)
+KL_SIZE = 15
+
+# per-bezier fields (bezier.scm:61-223): 4 control points + ribbon width
+B_CP, B_W, B_VALID = 0, 12, 13
+B_MTYPE, B_ALB0, B_ALB1, B_TEXK, B_FUZZ, B_REF, B_TEXS = (
+    14, 15, 18, 21, 22, 23, 24)
+BEZ_SIZE = 25
+
 
 @dataclasses.dataclass(frozen=True)
 class BouncePlan:
@@ -138,13 +164,20 @@ class BouncePlan:
     max_depth: int
     seed: int
     dtype: str
+    n_media: int = 0
+    n_kleins: int = 0
+    n_beziers: int = 0
+    bez_seeds: int = 32
+    bez_newton: int = 8
     size: int = 0
 
     def __post_init__(self):
         object.__setattr__(
             self, "size",
             HDR_SIZE + self.n_rects * RECT_SIZE
-            + self.n_spheres * SPH_SIZE + self.n_lights * LGT_SIZE)
+            + self.n_spheres * SPH_SIZE + self.n_lights * LGT_SIZE
+            + self.n_media * MED_SIZE + self.n_kleins * KL_SIZE
+            + self.n_beziers * BEZ_SIZE)
 
     @property
     def rect_base(self):
@@ -158,13 +191,26 @@ class BouncePlan:
     def lgt_base(self):
         return self.sph_base + self.n_spheres * SPH_SIZE
 
+    @property
+    def med_base(self):
+        return self.lgt_base + self.n_lights * LGT_SIZE
+
+    @property
+    def kl_base(self):
+        return self.med_base + self.n_media * MED_SIZE
+
+    @property
+    def bez_base(self):
+        return self.kl_base + self.n_kleins * KL_SIZE
+
 
 # Per prim GROUP: up to this count the sweep unrolls with constant packed
 # offsets; above it, a fori_loop with dynamic packed offsets keeps compile
-# size O(1) in prim count (see _intersect).  The loop form compiles and
-# matches the unrolled form under XLA, but the Mosaic TPU backend's
-# compiler crashes on it at scale — so Pallas is gated to unrolled sizes
-# (pallas_ok) and larger scenes run the SAME fused step as plain jnp.
+# size O(1) in prim count (see _intersect).  Round 3 gated Pallas to the
+# unrolled sizes because the Mosaic compiler subprocess crashed on the
+# loop form at scale; round 4 minimally reproduced the crash (a BOOL array
+# in a fori carry — tools/repro_mosaic_crash.py) and fixed it by carrying
+# masks as int32, so the loop form now compiles and pallas_ok covers it.
 UNROLL_MAX = 64
 # Hard cap only bounds the packed-scene footprint (~40KB at 2048 mixed
 # prims); bigger scenes take the general pool's BVH.
@@ -172,16 +218,22 @@ MAX_FUSED_PRIMS = 2048
 
 
 def pallas_ok(plan: "BouncePlan") -> bool:
-    """Megakernel eligibility: groups small enough to unroll."""
-    return plan.n_rects <= UNROLL_MAX and plan.n_spheres <= UNROLL_MAX
+    """Megakernel eligibility.
+
+    Large rect/sphere groups take the in-kernel fori sweep (compiles since
+    the i32-mask-carry fix — commit notes at UNROLL_MAX); the exotic
+    groups stay unrolled, so only their counts are bounded here.  The
+    compile-to-binary gate (mosaic_lowers / mosaic_compiles_vjp) remains
+    the backstop for anything this predicate lets through."""
+    return (plan.n_media <= 16 and plan.n_kleins <= 2
+            and plan.n_beziers <= 8)
 
 
 def supported(scene, config) -> bool:
     """True when the fused SoA bounce covers this (scene, config)."""
     n_prims = ((int(scene.rect_k.shape[0]) if scene.has_rects else 0)
                + (int(scene.sph_r.shape[0]) if scene.has_spheres else 0))
-    return not (scene.has_media or scene.has_beziers or scene.has_klein
-                or scene.has_image_tex
+    return not (scene.has_image_tex
                 or config.russian_roulette or config.traversal == "bvh"
                 or n_prims > MAX_FUSED_PRIMS)
 
@@ -195,7 +247,11 @@ def make_plan(scene, config) -> BouncePlan:
         light_sampling=config.light_sampling and scene.n_lights > 0,
         has_perlin=scene.has_perlin_tex, perlin_seed=scene.perlin_seed,
         nx=config.nx, ny=config.ny, total_pix=config.n_pixels,
-        max_depth=config.max_depth, seed=config.seed, dtype=config.dtype)
+        max_depth=config.max_depth, seed=config.seed, dtype=config.dtype,
+        n_media=int(scene.med_kind.shape[0]) if scene.has_media else 0,
+        n_kleins=int(scene.kl_center.shape[0]) if scene.has_klein else 0,
+        n_beziers=int(scene.bez_w.shape[0]) if scene.has_beziers else 0,
+        bez_seeds=config.bezier_seeds, bez_newton=config.bezier_newton)
 
 
 def _mat_fields(scene, mid):
@@ -283,6 +339,59 @@ def pack(scene, cam, plan: BouncePlan, dtype):
         assert block.shape[1] == LGT_SIZE
         pieces.append(block.ravel())
 
+    if plan.n_media:
+        # oriented 3-slab boundary: object test p_obj[a] in [pmin_a, pmax_a]
+        # with p_obj = R^T (p - T) becomes p . R[:,a] in range + T . R[:,a]
+        rot = scene.med_rot.astype(dtype)
+        trans = scene.med_trans.astype(dtype)
+        ax_blocks = []
+        for a in range(3):
+            u = rot[:, :, a]
+            ut = jnp.sum(u * trans, axis=1)
+            ax_blocks += [u, (scene.med_pmin[:, a] + ut)[:, None],
+                          (scene.med_pmax[:, a] + ut)[:, None]]
+        mtype, alb0, alb1, texk, texs = _mat_fields(scene, scene.med_mat)
+        block = jnp.concatenate([
+            scene.med_kind.astype(dtype)[:, None],
+            *ax_blocks,
+            scene.med_center, scene.med_radius[:, None],
+            scene.med_neg_inv_d[:, None],
+            scene.med_valid.astype(dtype)[:, None],
+            mtype[:, None], alb0, alb1, texk[:, None],
+            scene.mat_fuzz[scene.med_mat][:, None],
+            scene.mat_ref[scene.med_mat][:, None],
+            texs[:, None],
+        ], axis=1).astype(dtype)
+        assert block.shape[1] == MED_SIZE
+        pieces.append(block.ravel())
+
+    if plan.n_kleins:
+        mtype, alb0, alb1, texk, texs = _mat_fields(scene, scene.kl_mat)
+        block = jnp.concatenate([
+            scene.kl_center,
+            scene.kl_valid.astype(dtype)[:, None],
+            mtype[:, None], alb0, alb1, texk[:, None],
+            scene.mat_fuzz[scene.kl_mat][:, None],
+            scene.mat_ref[scene.kl_mat][:, None],
+            texs[:, None],
+        ], axis=1).astype(dtype)
+        assert block.shape[1] == KL_SIZE
+        pieces.append(block.ravel())
+
+    if plan.n_beziers:
+        mtype, alb0, alb1, texk, texs = _mat_fields(scene, scene.bez_mat)
+        block = jnp.concatenate([
+            scene.bez_cp.reshape(-1, 12),
+            scene.bez_w[:, None],
+            scene.bez_valid.astype(dtype)[:, None],
+            mtype[:, None], alb0, alb1, texk[:, None],
+            scene.mat_fuzz[scene.bez_mat][:, None],
+            scene.mat_ref[scene.bez_mat][:, None],
+            texs[:, None],
+        ], axis=1).astype(dtype)
+        assert block.shape[1] == BEZ_SIZE
+        pieces.append(block.ravel())
+
     pk = jnp.concatenate(pieces)
     assert pk.shape[0] == plan.size, (pk.shape, plan.size)
     return pk
@@ -317,11 +426,104 @@ def _camera_ray(plan, pk, u, px, py):
     return o, unit3(d), jnp.broadcast_to(time.astype(dt), px.shape)
 
 
-def _intersect(plan, pk, o, d, time, t_min, t_max):
-    """Unrolled closest-hit sweep over rects + spheres, material merged in.
+def _merge_rec(pk, best, ok, t, wn, base, a0_off, a1_off, m_off, tk_off,
+               fz_off, rf_off, ts_off):
+    """Fold one primitive's candidate hit into the running best record."""
+    closer = ok & (t < best["t"])
+    return {
+        "hit": best["hit"] | closer,
+        "t": jnp.where(closer, t, best["t"]),
+        "wn": where3(closer, wn, best["wn"]),
+        "mtype": jnp.where(closer, pk[base + m_off], best["mtype"]),
+        "alb0": where3(closer, tuple(pk[base + a0_off + i]
+                                     for i in range(3)), best["alb0"]),
+        "alb1": where3(closer, tuple(pk[base + a1_off + i]
+                                     for i in range(3)), best["alb1"]),
+        "texk": jnp.where(closer, pk[base + tk_off], best["texk"]),
+        "texs": jnp.where(closer, pk[base + ts_off], best["texs"]),
+        "fuzz": jnp.where(closer, pk[base + fz_off], best["fuzz"]),
+        "ref": jnp.where(closer, pk[base + rf_off], best["ref"]),
+    }
 
-    Returns dict of per-lane best-hit attributes (hit, t, wn, mtype, alb0,
-    alb1, texk, texs, fuzz, ref).
+
+# Kleinian inversion-sphere positions, klein-local (geometry.scm:591-599)
+_KLEIN_SPHERES = ((300.0, 300.0, 0.0), (300.0, -300.0, 0.0),
+                  (-300.0, 300.0, 0.0), (-300.0, -300.0, 0.0),
+                  (0.0, 0.0, 424.26), (0.0, 0.0, -424.26))
+
+
+def _klein_dist(c, px, py, pz):
+    """SoA distance estimate (geometry.scm:602-624; ops/klein.dist_func).
+
+    c: (cx, cy, cz) klein center; p*: lane-shaped world positions.  The 6
+    inversion-sphere interiors are disjoint, so "first containing sphere"
+    unrolls to a masked sequential select inside the fori over iterations.
+    """
+    px, py, pz = px - c[0], py - c[1], pz - c[2]
+    r2 = cfg_mod.KLEIN_SPHERE_R * cfg_mod.KLEIN_SPHERE_R
+    tiny = jnp.finfo(px.dtype).tiny
+
+    # masks ride the carry as int32: a bool array in a fori_loop carry
+    # crashes the Mosaic compiler subprocess (tools/repro_mosaic_crash.py
+    # single_bool_carry — the d8a570f crash class, minimally reproduced)
+    def body(_, st):
+        px, py, pz, dr, active_i = st
+        active = active_i != 0
+        found = jnp.zeros_like(active)
+        for sx, sy, sz in _KLEIN_SPHERES:
+            dx, dy, dz = px - sx, py - sy, pz - sz
+            d2 = dx * dx + dy * dy + dz * dz
+            sel = active & ~found & (d2 < r2)
+            scale = r2 / jnp.maximum(d2, tiny)
+            px = jnp.where(sel, dx * scale + sx, px)
+            py = jnp.where(sel, dy * scale + sy, py)
+            pz = jnp.where(sel, dz * scale + sz, pz)
+            dr = jnp.where(sel, dr * scale, dr)
+            found = found | sel
+        return px, py, pz, dr, (active & found).astype(jnp.int32)
+
+    dr0 = jnp.ones_like(px)
+    px, py, pz, dr, _ = jax.lax.fori_loop(
+        0, cfg_mod.KLEIN_ITERATIONS, body,
+        (px, py, pz, dr0, jnp.ones_like(px, jnp.int32)))
+    ln = jnp.sqrt(px * px + py * py + pz * pz)
+    return cfg_mod.KLEIN_DE_SCALE * (ln - cfg_mod.KLEIN_R) / jnp.abs(dr)
+
+
+def _klein_march(c, o, d, t_min, t_max):
+    """SoA sphere trace (geometry.scm:646-661; ops/klein._march_one).
+
+    Runs entirely under stop_gradient by the caller's arrangement; the
+    differentiable t is attached afterwards via the implicit-function
+    correction (one extra DE evaluation instead of a 100-step tape)."""
+    def body(_, st):
+        ray_len, done_i, hit_i = st               # masks as i32 (Mosaic —
+        done = done_i != 0                        # see _klein_dist note)
+        dist = _klein_dist(c, o[0] + d[0] * ray_len, o[1] + d[1] * ray_len,
+                           o[2] + d[2] * ray_len)
+        new_len = ray_len + dist
+        accept = ((dist < cfg_mod.KLEIN_SURF_EPS) & (new_len > t_min)
+                  & (new_len < t_max))
+        ray_len = jnp.where(done, ray_len, new_len)
+        hit_i = hit_i | (accept & ~done).astype(jnp.int32)
+        done_i = done_i | accept.astype(jnp.int32)
+        return ray_len, done_i, hit_i
+
+    zero = jnp.zeros_like(o[0])
+    zi = jnp.zeros_like(o[0], dtype=jnp.int32)
+    ray_len, _, hit_i = jax.lax.fori_loop(
+        0, cfg_mod.KLEIN_MAX_STEPS, body, (zero, zi, zi))
+    return hit_i != 0, ray_len
+
+
+def _intersect(plan, pk, o, d, time, t_min, t_max):
+    """Unrolled closest-hit sweep over every solid group, material merged in.
+
+    Covers rects, spheres, kleins (sphere-traced SDF) and beziers
+    (Newton-on-seeds ribbon test); constant media are resolved by the
+    caller AFTER this sweep so their scatter interval clips to the closest
+    solid hit (geometry.scm:556-557).  Returns dict of per-lane best-hit
+    attributes (hit, t, wn, mtype, alb0, alb1, texk, texs, fuzz, ref).
     """
     shp = o[0].shape
     dt = o[0].dtype
@@ -335,21 +537,8 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
 
     def merge(best, ok, t, wn, base, a0_off, a1_off, m_off, tk_off,
               fz_off, rf_off, ts_off):
-        closer = ok & (t < best["t"])
-        return {
-            "hit": best["hit"] | closer,
-            "t": jnp.where(closer, t, best["t"]),
-            "wn": where3(closer, wn, best["wn"]),
-            "mtype": jnp.where(closer, pk[base + m_off], best["mtype"]),
-            "alb0": where3(closer, tuple(pk[base + a0_off + i]
-                                         for i in range(3)), best["alb0"]),
-            "alb1": where3(closer, tuple(pk[base + a1_off + i]
-                                         for i in range(3)), best["alb1"]),
-            "texk": jnp.where(closer, pk[base + tk_off], best["texk"]),
-            "texs": jnp.where(closer, pk[base + ts_off], best["texs"]),
-            "fuzz": jnp.where(closer, pk[base + fz_off], best["fuzz"]),
-            "ref": jnp.where(closer, pk[base + rf_off], best["ref"]),
-        }
+        return _merge_rec(pk, best, ok, t, wn, base, a0_off, a1_off, m_off,
+                          tk_off, fz_off, rf_off, ts_off)
 
     def rect_probe(best, b):
         """b = packed base offset of one rect (static OR traced int)."""
@@ -404,23 +593,147 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
     # groups run a fori_loop with DYNAMIC packed offsets — pk lives in
     # SMEM inside the kernel, so pk[traced_i] is one scalar load (the
     # scalar-prefetch pattern), and compile size stays O(1) in prim count.
+    # The best["hit"] mask rides the loop carry as int32: a bool array in
+    # a fori carry crashes the Mosaic compiler subprocess (the d8a570f
+    # crash class, minimal repro tools/repro_mosaic_crash.py).
+    def _prim_loop(best, n, probe):
+        def body(i, bst):
+            out = probe(dict(bst, hit=bst["hit"] != 0), i)
+            return dict(out, hit=out["hit"].astype(jnp.int32))
+        best = dict(best, hit=best["hit"].astype(jnp.int32))
+        best = jax.lax.fori_loop(0, n, body, best)
+        return dict(best, hit=best["hit"] != 0)
+
     if plan.n_rects <= UNROLL_MAX:
         for r in range(plan.n_rects):
             best = rect_probe(best, plan.rect_base + r * RECT_SIZE)
     else:
-        best = jax.lax.fori_loop(
-            0, plan.n_rects,
-            lambda r, bst: rect_probe(bst, plan.rect_base + r * RECT_SIZE),
-            best)
+        best = _prim_loop(
+            best, plan.n_rects,
+            lambda bst, r: rect_probe(bst, plan.rect_base + r * RECT_SIZE))
 
     if plan.n_spheres <= UNROLL_MAX:
         for s in range(plan.n_spheres):
             best = sphere_probe(best, plan.sph_base + s * SPH_SIZE)
     else:
-        best = jax.lax.fori_loop(
-            0, plan.n_spheres,
-            lambda s, bst: sphere_probe(bst, plan.sph_base + s * SPH_SIZE),
-            best)
+        best = _prim_loop(
+            best, plan.n_spheres,
+            lambda bst, s: sphere_probe(bst, plan.sph_base + s * SPH_SIZE))
+
+    def klein_probe(best, b):
+        """b = packed base of one klein instance (geometry.scm:635-661).
+
+        The march runs under stop_gradient; the differentiable hit t is
+        attached by the implicit-function correction t -= (F - eps)/F'
+        at the converged root (F(t) = DE(o + t d); one extra DE + jvp
+        instead of transposing the 100-step march), and the CD normal
+        (geometry.scm:626-632) stays fully differentiable."""
+        c = (pk[b + K_C], pk[b + K_C + 1], pk[b + K_C + 2])
+        sg = jax.lax.stop_gradient
+        c_s = tuple(sg(x) for x in c)
+        o_s = tuple(sg(x) for x in o)
+        d_s = tuple(sg(x) for x in d)
+        hitk, t_raw = _klein_march(c_s, o_s, d_s, t_min, big)
+
+        def f_de(t):
+            return _klein_dist(c, o[0] + t * d[0], o[1] + t * d[1],
+                               o[2] + t * d[2])
+
+        dist, ddt = jax.jvp(f_de, (t_raw,), (jnp.ones_like(t_raw),))
+        denom = jnp.where(jnp.abs(ddt) > 1e-6, ddt,
+                          jnp.where(ddt >= 0.0, 1e-6, -1e-6))
+        corr = jnp.where(hitk, (dist - cfg_mod.KLEIN_SURF_EPS) / denom, 0.0)
+        t = t_raw - (corr - sg(corr))
+
+        h = cfg_mod.KLEIN_NORMAL_H
+        p = tuple(o[i] + t * d[i] for i in range(3))
+        nx = (_klein_dist(c, p[0] + h, p[1], p[2])
+              - _klein_dist(c, p[0] - h, p[1], p[2]))
+        ny = (_klein_dist(c, p[0], p[1] + h, p[2])
+              - _klein_dist(c, p[0], p[1] - h, p[2]))
+        nz = (_klein_dist(c, p[0], p[1], p[2] + h)
+              - _klein_dist(c, p[0], p[1], p[2] - h))
+        wn = unit3((nx, ny, nz))
+        ok = hitk & (pk[b + K_VALID] > 0.5)
+        return merge(best, ok, t, wn, b, K_ALB0, K_ALB1, K_MTYPE, K_TEXK,
+                     K_FUZZ, K_REF, K_TEXS)
+
+    for k in range(plan.n_kleins):
+        best = klein_probe(best, plan.kl_base + k * KL_SIZE)
+
+    def bezier_probe(best, b):
+        """b = packed base of one bezier ribbon (ops/bezier.py redesign:
+        Newton on g'(s)=0 from fixed seeds in ray space, implicit-function
+        gradients at the root, normal = -dir per B11)."""
+        pick = jnp.abs(d[0]) > 0.9
+        a_vec = (jnp.where(pick, 0.0, 1.0), jnp.where(pick, 1.0, 0.0),
+                 jnp.zeros_like(d[0]))
+        v_f = unit3(cross3(d, a_vec))
+        u_f = cross3(v_f, d)
+        cxk, cyk, czk = [], [], []
+        for k in range(4):
+            cp = _v(pk, b + B_CP + 3 * k)
+            rel = tuple(cp[i] - o[i] for i in range(3))
+            cxk.append(dot3(rel, u_f))
+            cyk.append(dot3(rel, v_f))
+            czk.append(dot3(rel, d))
+
+        def pcoef(p0, p1, p2, p3):
+            return (p0, 3.0 * (p1 - p0), 3.0 * (p0 - 2.0 * p1 + p2),
+                    -p0 + 3.0 * p1 - 3.0 * p2 + p3)
+
+        ax, ay, az = pcoef(*cxk), pcoef(*cyk), pcoef(*czk)
+
+        def g_derivs(s):
+            cx = ax[0] + s * (ax[1] + s * (ax[2] + s * ax[3]))
+            cy = ay[0] + s * (ay[1] + s * (ay[2] + s * ay[3]))
+            cx1 = ax[1] + s * (2.0 * ax[2] + s * (3.0 * ax[3]))
+            cy1 = ay[1] + s * (2.0 * ay[2] + s * (3.0 * ay[3]))
+            cx2 = 2.0 * ax[2] + s * (6.0 * ax[3])
+            cy2 = 2.0 * ay[2] + s * (6.0 * ay[3])
+            g = cx * cx + cy * cy
+            dg = 2.0 * (cx * cx1 + cy * cy1)
+            speed2 = 2.0 * (cx1 * cx1 + cy1 * cy1)
+            d2g = speed2 + 2.0 * (cx * cx2 + cy * cy2)
+            return g, dg, d2g, speed2
+
+        half_w = pk[b + B_W] * 0.5
+        hw2 = half_w * half_w
+        valid = pk[b + B_VALID] > 0.5
+        K = plan.bez_seeds
+        sg = jax.lax.stop_gradient
+
+        def seed_body(k, t_best):
+            s = jnp.full(shp, 0.0, dt) + (k.astype(dt) + 0.5) * (1.0 / K)
+            for _ in range(plan.bez_newton):
+                g, dg, d2g, _ = g_derivs(s)
+                stepn = jnp.where(d2g > 1e-12,
+                                  dg / jnp.where(d2g > 1e-12, d2g, 1e-12),
+                                  0.0)
+                s = jnp.clip(s - stepn, 0.0, 1.0)
+            # implicit-function gradients at the root (ops/bezier.py:95-119):
+            # differentiate the ROOT, not the Newton tape; curvature floor
+            # bounds the grazing-hit estimator
+            s = sg(s)
+            _, dg, d2g, speed2 = g_derivs(s)
+            interior = (s > 0.0) & (s < 1.0)
+            d2g_safe = jnp.maximum(d2g, 0.05 * speed2 + 1e-12)
+            corr = jnp.where(interior, dg / d2g_safe, 0.0)
+            s = s - (corr - sg(corr))
+            g, _, _, _ = g_derivs(s)
+            zc = az[0] + s * (az[1] + s * (az[2] + s * az[3]))
+            ok = ((g < hw2) & (zc > 1e-4) & (zc > t_min) & (zc <= big)
+                  & valid)                       # bezier.scm:161-166
+            return jnp.minimum(t_best, jnp.where(ok, zc, big))
+
+        t_curve = jax.lax.fori_loop(0, K, seed_body, jnp.full(shp, big, dt))
+        okc = t_curve < big
+        wn = (-d[0], -d[1], -d[2])               # B11: normal = -ray dir
+        return merge(best, okc, t_curve, wn, b, B_ALB0, B_ALB1, B_MTYPE,
+                     B_TEXK, B_FUZZ, B_REF, B_TEXS)
+
+    for j in range(plan.n_beziers):
+        best = bezier_probe(best, plan.bez_base + j * BEZ_SIZE)
 
     return best
 
@@ -519,6 +832,75 @@ def _lights_value(plan, pk, p, d):
     return total * (1.0 / plan.n_lights)
 
 
+def _media_scatter(plan, pk, gitem, depth, o, d, rec):
+    """Constant-medium scatter events (geometry.scm:545-578), fused.
+
+    Probes each medium's boundary interval (oriented 3-slab box or
+    sphere), clips it to the closest solid hit (geometry.scm:556-557 via
+    `rec`), and scatters at the exponential distance -ln(xi)/rho drawn
+    from the SAME GROUP_MEDIUM counter-hash columns as the general pool
+    (integrator/pool.py:136-139) — identical estimator.  A scatter
+    overrides the solid record: normal=(1,0,0), phase material merged in
+    (geometry.scm:546,571-573)."""
+    shp = o[0].shape
+    dt = o[0].dtype
+    big = jnp.asarray(cfg_mod.BIG, dt)
+    tiny = jnp.finfo(dt).tiny
+    t_clip = jnp.where(rec["hit"], rec["t"], big)
+    u_med = rng.hash_uniforms_tuple(plan.seed, gitem, depth, plan.n_media,
+                                    dt, group_base=rng.GROUP_MEDIUM)
+    one = jnp.ones(shp, dt)
+    zero = jnp.zeros(shp, dt)
+    for mi in range(plan.n_media):
+        b = plan.med_base + mi * MED_SIZE
+        is_box = pk[b + M_KIND] < 0.5
+        en = jnp.full(shp, -cfg_mod.BIG, dt)
+        ex = jnp.full(shp, cfg_mod.BIG, dt)
+        for a in range(3):
+            ab = b + M_AX + a * 5
+            u_ax = _v(pk, ab)
+            pa = dot3(o, u_ax)
+            da = dot3(d, u_ax)
+            # parallel-ray guard (the general path divides by zero into
+            # IEEE infs; the guarded form keeps the backward NaN-free)
+            da_ok = jnp.abs(da) > 1e-12
+            inv = 1.0 / jnp.where(da_ok, da, 1.0)
+            ta = (pk[ab + 3] - pa) * inv
+            tb = (pk[ab + 4] - pa) * inv
+            lo_t = jnp.minimum(ta, tb)
+            hi_t = jnp.maximum(ta, tb)
+            inside = (pa >= pk[ab + 3]) & (pa <= pk[ab + 4])
+            lo_t = jnp.where(da_ok, lo_t, jnp.where(inside, -big, big))
+            hi_t = jnp.where(da_ok, hi_t, jnp.where(inside, big, -big))
+            en = jnp.maximum(en, lo_t)
+            ex = jnp.minimum(ex, hi_t)
+        box_ok = en < ex
+        c = _v(pk, b + M_C)
+        oc = sub3(o, c)
+        bq = dot3(oc, d)
+        rr = pk[b + M_RAD]
+        cq = dot3(oc, oc) - rr * rr
+        disc = bq * bq - cq
+        sph_ok = disc > 0.0
+        sq = jnp.sqrt(jnp.where(sph_ok, disc, 1.0))
+        entry = jnp.where(is_box, en, -bq - sq)
+        exit_ = jnp.where(is_box, ex, -bq + sq)
+        # logical, not select: Mosaic has no i1-vector arith.select lowering
+        mok = (((is_box & box_ok) | (~is_box & sph_ok))
+               & (pk[b + M_VALID] > 0.5))
+        t1 = jnp.maximum(jnp.maximum(entry, cfg_mod.SHADOW_EPS), 0.0)
+        t2 = jnp.minimum(exit_, t_clip)                # geometry.scm:556-557
+        mok = mok & (t1 < t2)
+        xi = jnp.maximum(u_med[mi], tiny)              # log(0) guard
+        hit_dist = pk[b + M_NID] * jnp.log(xi)         # geometry.scm:562-564
+        mok = mok & (hit_dist < (t2 - t1))
+        t_med = t1 + hit_dist
+        rec = _merge_rec(pk, rec, mok, t_med, (one, zero, zero), b,
+                         M_ALB0, M_ALB1, M_MTYPE, M_TEXK, M_FUZZ, M_REF,
+                         M_TEXS)
+    return rec
+
+
 def step(plan: BouncePlan, pk, gitem, px, py, fresh, alive, depth,
          o, d, time, rad, tp):
     """One fused pool iteration: regen fresh lanes, trace, shade.
@@ -542,6 +924,8 @@ def step(plan: BouncePlan, pk, gitem, px, py, fresh, alive, depth,
 
     # --- closest hit (geometry.scm:33-50) ----------------------------------
     rec = _intersect(plan, pk, o, d, time, cfg_mod.SHADOW_EPS, cfg_mod.BIG)
+    if plan.n_media:
+        rec = _media_scatter(plan, pk, gitem, depth, o, d, rec)
     hit = rec["hit"]
     t_eff = jnp.where(hit, rec["t"], 0.0)          # miss: p = o (sanitized)
     p = tuple(o[i] + t_eff * d[i] for i in range(3))
@@ -756,6 +1140,199 @@ def as_pallas(plan: BouncePlan, m: int, block_rows: int = 256,
     return stepfn
 
 
+# ---------------------------------------------------------------------------
+# Custom-VJP megakernel: Pallas forward + single-Pallas-kernel backward
+# ---------------------------------------------------------------------------
+
+
+def as_pallas_bwd(plan: BouncePlan, m: int, block_rows: int = 64,
+                  interpret: bool = False):
+    """Backward megakernel for `step`: recompute + transpose in ONE kernel.
+
+    Given the step's INPUTS and the cotangents of its five float outputs
+    (o', d', time', rad', tp'), returns cotangents for (pk, o, d, time,
+    rad, tp).  The kernel reads the packed scene as SMEM scalars, replays
+    the forward `step` and transposes it in a single fused Pallas program
+    (`jax.vjp` traced at kernel-build time — the residuals never touch
+    HBM), so the backward pays Pallas speed, not the jnp step's.  Each pk
+    scalar's cotangent is a full-lane reduction; per-grid-block partials
+    are summed outside the kernel.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert m % 128 == 0, m
+    rows = m // 128
+    br = min(block_rows, rows)
+    while rows % br:
+        br //= 2
+    grid = (rows // br,)
+    P = plan.size
+
+    def kernel(pk_ref, gitem_ref, px_ref, py_ref, fresh_ref, alive_ref,
+               depth_ref, *refs):
+        lane_in, ct_in = refs[:13], refs[13:26]
+        o_dpk, lane_out = refs[26], refs[27:40]
+        pk = tuple(pk_ref[0, i] for i in range(P))
+        gitem = gitem_ref[:]
+        px, py = px_ref[:], py_ref[:]
+        fresh = fresh_ref[:] != 0
+        alive = alive_ref[:] != 0
+        depth = depth_ref[:]
+        o = (lane_in[0][:], lane_in[1][:], lane_in[2][:])
+        d = (lane_in[3][:], lane_in[4][:], lane_in[5][:])
+        time = lane_in[6][:]
+        rad = (lane_in[7][:], lane_in[8][:], lane_in[9][:])
+        tp = (lane_in[10][:], lane_in[11][:], lane_in[12][:])
+
+        def f(pk_t, o, d, time, rad, tp):
+            # step only ever indexes pk with STATIC ints (pallas_ok gates
+            # out the dynamic-offset fori form), so a plain tuple works as
+            # the packed-scene view and every element is a diff leaf.
+            return step(plan, pk_t, gitem, px, py, fresh, alive, depth,
+                        o, d, time, rad, tp)[:5]
+
+        _, vjp = jax.vjp(f, pk, o, d, time, rad, tp)
+        cts = ((ct_in[0][:], ct_in[1][:], ct_in[2][:]),
+               (ct_in[3][:], ct_in[4][:], ct_in[5][:]), ct_in[6][:],
+               (ct_in[7][:], ct_in[8][:], ct_in[9][:]),
+               (ct_in[10][:], ct_in[11][:], ct_in[12][:]))
+        dpk, do, dd, dtm, dr, dtp = vjp(cts)
+        # o_dpk is the WHOLE (n_blocks, P) SMEM array (a blocked spec would
+        # violate the (8, 128)-divisibility rule); each grid step owns row
+        # program_id(0), summed by the host wrapper.
+        pid = pl.program_id(0)
+        for i in range(P):
+            o_dpk[pid, i] = dpk[i]
+        for r, v in zip(lane_out, [*do, *dd, dtm, *dr, *dtp]):
+            r[:] = v
+
+    lane_spec = pl.BlockSpec((br, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    pk_spec = pl.BlockSpec((1, P), lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    dpk_spec = pl.BlockSpec(memory_space=pltpu.SMEM)   # whole (grid, P)
+
+    def bwdfn(pk, gitem, px, py, fresh, alive, depth, o, d, time, rad, tp,
+              ct_o, ct_d, ct_time, ct_rad, ct_tp):
+        dt = px.dtype
+        r2 = lambda x: x.reshape(rows, 128)
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pk_spec] + [lane_spec] * 32,
+            out_specs=[dpk_spec] + [lane_spec] * 13,
+            out_shape=([jax.ShapeDtypeStruct((grid[0], P), dt)]
+                       + [jax.ShapeDtypeStruct((rows, 128), dt)] * 13),
+            # transpose live-range pressure: the recompute+transpose body
+            # holds ~3x the forward's live values, so the default 16MB
+            # scoped-vmem budget OOMs at the forward's block size; small
+            # blocks + a raised limit keep the single-kernel design
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024) if not interpret
+            else None,
+            interpret=interpret,
+        )(pk.reshape(1, P), r2(gitem), r2(px), r2(py),
+          r2(fresh.astype(jnp.int32)), r2(alive.astype(jnp.int32)),
+          r2(depth), r2(o[0]), r2(o[1]), r2(o[2]),
+          r2(d[0]), r2(d[1]), r2(d[2]), r2(time),
+          r2(rad[0]), r2(rad[1]), r2(rad[2]),
+          r2(tp[0]), r2(tp[1]), r2(tp[2]),
+          r2(ct_o[0]), r2(ct_o[1]), r2(ct_o[2]),
+          r2(ct_d[0]), r2(ct_d[1]), r2(ct_d[2]), r2(ct_time),
+          r2(ct_rad[0]), r2(ct_rad[1]), r2(ct_rad[2]),
+          r2(ct_tp[0]), r2(ct_tp[1]), r2(ct_tp[2]))
+        f = lambda x: x.reshape(m)
+        d_pk = jnp.sum(outs[0], axis=0)
+        return (d_pk, (f(outs[1]), f(outs[2]), f(outs[3])),
+                (f(outs[4]), f(outs[5]), f(outs[6])), f(outs[7]),
+                (f(outs[8]), f(outs[9]), f(outs[10])),
+                (f(outs[11]), f(outs[12]), f(outs[13])))
+
+    return bwdfn
+
+
+def as_pallas_vjp(plan: BouncePlan, m: int, block_rows: int = 256,
+                  interpret: bool = False):
+    """`step` with a jax.custom_vjp: Pallas forward AND Pallas backward.
+
+    This is the reverse-mode fast path the BASELINE's "fwd and fwd+bwd"
+    wording demands: the diff pool's scan differentiates through this step
+    at megakernel speed in BOTH directions, with residuals = the step's
+    own inputs (the pool carry — no per-intermediate tape).  Same
+    signature as `step`; grads flow to pk / o / d / time / rad / tp;
+    px / py get zeros (pixel coordinates), int/bool lanes get float0.
+    """
+    fwd = as_pallas(plan, m, block_rows, interpret)
+    bwd = as_pallas_bwd(plan, m, block_rows, interpret)
+
+    @jax.custom_vjp
+    def cv(pk, o, d, time, rad, tp, px, py, gitem, fresh, alive, depth):
+        return fwd(plan, pk, gitem, px, py, fresh, alive, depth,
+                   o, d, time, rad, tp)
+
+    def cv_fwd(pk, o, d, time, rad, tp, px, py, gitem, fresh, alive, depth):
+        out = cv(pk, o, d, time, rad, tp, px, py, gitem, fresh, alive,
+                 depth)
+        return out, (pk, o, d, time, rad, tp, px, py, gitem, fresh, alive,
+                     depth)
+
+    def cv_bwd(res, cts):
+        pk, o, d, time, rad, tp, px, py, gitem, fresh, alive, depth = res
+        ct_o, ct_d, ct_time, ct_rad, ct_tp, _ = cts   # scattering: float0
+        d_pk, d_o, d_d, d_time, d_rad, d_tp = bwd(
+            pk, gitem, px, py, fresh, alive, depth, o, d, time, rad, tp,
+            ct_o, ct_d, ct_time, ct_rad, ct_tp)
+        f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
+        return (d_pk, d_o, d_d, d_time, d_rad, d_tp,
+                jnp.zeros_like(px), jnp.zeros_like(py),
+                f0(gitem), f0(fresh), f0(alive), f0(depth))
+
+    cv.defvjp(cv_fwd, cv_bwd)
+
+    def stepfn(plan_, pk, gitem, px, py, fresh, alive, depth, o, d, time,
+               rad, tp):
+        return cv(pk, o, d, time, rad, tp, px, py, gitem, fresh, alive,
+                  depth)
+
+    return stepfn
+
+
+@functools.lru_cache(maxsize=64)
+def mosaic_compiles_vjp(plan: BouncePlan, m: int, dtype_name: str) -> bool:
+    """True iff BOTH vjp-path kernels compile to TPU binaries.
+
+    Unlike `mosaic_lowers` this runs the full compile (`.compile()`), not
+    just lowering — the Mosaic subprocess-crash class (commit d8a570f)
+    happens after a clean lowering, so the backward gate must go all the
+    way to a binary.  Cached per (plan, m, dtype); O(tens of seconds) once.
+    """
+    import warnings
+
+    dt = jnp.dtype({"f32": "float32", "f64": "float64"}.get(dtype_name,
+                                                            dtype_name))
+    sd = lambda d: jax.ShapeDtypeStruct((m,), d)
+    v3 = lambda: (sd(dt), sd(dt), sd(dt))
+    try:
+        stepfn = as_pallas(plan, m)
+        jax.jit(stepfn, static_argnums=(0,)).lower(
+            plan, jax.ShapeDtypeStruct((plan.size,), dt),
+            sd(jnp.int32), sd(dt), sd(dt), sd(bool), sd(bool),
+            sd(jnp.int32), v3(), v3(), sd(dt), v3(), v3()).compile()
+        bwdfn = as_pallas_bwd(plan, m)
+        jax.jit(bwdfn).lower(
+            jax.ShapeDtypeStruct((plan.size,), dt),
+            sd(jnp.int32), sd(dt), sd(dt), sd(bool), sd(bool),
+            sd(jnp.int32), v3(), v3(), sd(dt), v3(), v3(),
+            v3(), v3(), sd(dt), v3(), v3()).compile()
+        return True
+    except Exception as e:  # noqa: BLE001 — any failure disables the path
+        warnings.warn(
+            f"Pallas custom-VJP bounce failed to compile; reverse-mode "
+            f"falls back to the jnp fused step: {type(e).__name__}: {e}")
+        return False
+
+
 N_PACKED = 16     # packed pool-state row groups: item, fresh, depth,
                   # o(3), d(3), time, rad(3), tp(3) — ints bitcast to f32
 
@@ -845,13 +1422,16 @@ def as_pallas_packed(plan: BouncePlan, m: int, n_work: int, n_pix: int,
 
 @functools.lru_cache(maxsize=64)
 def mosaic_lowers(plan: BouncePlan, m: int, dtype_name: str) -> bool:
-    """True iff the Pallas megakernel lowers through Mosaic for this plan.
+    """True iff the Pallas megakernel COMPILES to a TPU binary for this plan.
 
     Round 2 shipped a kernel that only ever ran in interpret mode and died
-    on the chip (`cbrt` has no Mosaic lowering) — this gate lowers the real
-    kernel with abstract inputs at trace time, so an unsupported primitive
-    downgrades auto mode to the jnp step instead of crashing the render.
-    Cached per (plan, m, dtype); the lowering itself takes O(seconds) once.
+    on the chip (`cbrt` has no Mosaic lowering); round 3's lowering-only
+    gate still had a hole — the Mosaic compiler subprocess can crash AFTER
+    a clean lowering (commit d8a570f; seen again with the i1-vector
+    arith.select in the media probe).  The gate therefore runs the full
+    `.compile()`, so any compiler-stage failure downgrades auto mode to the
+    jnp fused step instead of crashing the render.  Cached per
+    (plan, m, dtype); the compile takes O(tens of seconds) once.
     """
     import warnings
 
@@ -864,10 +1444,10 @@ def mosaic_lowers(plan: BouncePlan, m: int, dtype_name: str) -> bool:
         jax.jit(stepfn, static_argnums=(0,)).lower(
             plan, jax.ShapeDtypeStruct((plan.size,), dt),
             sd(jnp.int32), sd(dt), sd(dt), sd(bool), sd(bool),
-            sd(jnp.int32), v3(), v3(), sd(dt), v3(), v3())
+            sd(jnp.int32), v3(), v3(), sd(dt), v3(), v3()).compile()
         return True
-    except Exception as e:  # noqa: BLE001 — any lowering failure disables
+    except Exception as e:  # noqa: BLE001 — any compile failure disables
         warnings.warn(
-            f"Pallas megakernel failed Mosaic lowering; falling back to the "
+            f"Pallas megakernel failed to compile; falling back to the "
             f"jnp fused step: {type(e).__name__}: {e}")
         return False

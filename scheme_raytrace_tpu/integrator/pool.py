@@ -76,8 +76,8 @@ def render_pool_auto(scene, cam, config, raw0, sample_base, pix0=0,
                      total_pix=None, vary_axes=()):
     """Dispatch to the fused SoA pool (integrator/pool_fused.py — the TPU
     fast path, Pallas megakernel) when the scene is covered, else to the
-    general masked-sweep pool below (media/bezier/klein/image-tex
-    scenes and BVH traversal).  Identical estimator + RNG streams."""
+    general masked-sweep pool below (image-tex scenes, BVH traversal,
+    russian roulette).  Identical estimator + RNG streams."""
     from . import bounce, pool_fused
     if bounce.supported(scene, config):
         return pool_fused.render_pool_fused(scene, cam, config, raw0,

@@ -29,6 +29,13 @@ from . import bounce
 
 FLUSH_EVERY = 8     # F: bounce iterations per framebuffer scatter
 
+# Which step implementation the most recent render_pool_fused trace picked,
+# keyed by direction: {"forward": "pallas"|"jnp", "reverse":
+# "pallas-vjp"|"jnp"}.  Set at TRACE time (the moment the choice is made),
+# so bench artifacts can record what actually executed instead of "auto"
+# (a silent gate downgrade was indistinguishable in BENCH_r03).
+LAST_STEP_IMPL: dict = {}
+
 
 class FusedState(NamedTuple):
     ox: jnp.ndarray; oy: jnp.ndarray; oz: jnp.ndarray
@@ -88,16 +95,31 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
     pk = bounce.pack(scene, cam, plan, dtype)
     # Auto mode gates on a real Mosaic lowering (bounce.mosaic_lowers) so an
     # unsupported primitive degrades to the jnp step instead of crashing the
-    # render; use_pallas=True skips the gate and fails loudly.
+    # render; use_pallas=True skips the gate and fails loudly.  The static
+    # (reverse-mode) path uses the custom-VJP megakernel (Pallas forward AND
+    # backward) behind its own compile-to-binary gate.
+    use_vjp_kernel = False
     if static_iters is not None:
+        if config.use_pallas is None:
+            use_vjp_kernel = (jax.default_backend() == "tpu"
+                              and bounce.pallas_ok(plan)
+                              and bounce.mosaic_compiles_vjp(plan, m,
+                                                             config.dtype))
+        else:
+            use_vjp_kernel = config.use_pallas
         use_pallas = False
-    elif config.use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and bounce.pallas_ok(plan)
-                      and bounce.mosaic_lowers(plan, m, config.dtype))
+        step = (bounce.as_pallas_vjp(plan, m) if use_vjp_kernel
+                else bounce.step)
+        LAST_STEP_IMPL["reverse"] = "pallas-vjp" if use_vjp_kernel else "jnp"
     else:
-        use_pallas = config.use_pallas
-    step = bounce.as_pallas(plan, m) if use_pallas else bounce.step
+        if config.use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and bounce.pallas_ok(plan)
+                          and bounce.mosaic_lowers(plan, m, config.dtype))
+        else:
+            use_pallas = config.use_pallas
+        step = bounce.as_pallas(plan, m) if use_pallas else bounce.step
+        LAST_STEP_IMPL["forward"] = "pallas" if use_pallas else "jnp"
 
     item0 = jnp.arange(m, dtype=jnp.int32)
     gitem0, xs0, ys0 = _issue(item0, config, sample_base, n_pix, pix0,
@@ -187,10 +209,16 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
         return state.raw3.T, state.segments, state.iters
 
     # --- fixed-length scan (reverse-mode path) -----------------------------
-    # fori_loop lowers to while_loop (not reverse-differentiable); the same
-    # F-block structure becomes scan-over-blocks with scan-over-F inside,
-    # checkpointed per block so backward stores one carry per F iterations
-    # and recomputes the block's bounce chain.
+    # The while_loop drain is rewritten as scan-over-blocks with scan-over-F
+    # inside (same F-block flush structure; a static-bound fori_loop would
+    # also scan-lower, but the explicit scans make the checkpoint placement
+    # and per-step residual story visible).  With the jnp step each block is
+    # jax.checkpoint'd: backward stores one carry per F iterations and
+    # recomputes the block's bounce chain (the jnp step's tape of
+    # per-intermediate residuals would dwarf the carry).  With the
+    # custom-VJP megakernel the step's residuals ARE its inputs (the pool
+    # carry), so storing them all is cheap and the checkpoint's forward
+    # recompute would only burn kernel time — no checkpoint.
     n_blocks = max(1, -(-int(static_iters) // F))
 
     def block(st: FusedState, _):
@@ -210,8 +238,8 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
             seq_pix=jnp.zeros_like(st.seq_pix),
             seq_k=jnp.zeros_like(st.seq_k))
 
-    state, _ = jax.lax.scan(jax.checkpoint(block), state, None,
-                            length=n_blocks)
+    blockfn = block if use_vjp_kernel else jax.checkpoint(block)
+    state, _ = jax.lax.scan(blockfn, state, None, length=n_blocks)
     leftover = (jnp.sum(state.alive, dtype=jnp.int32)
                 + (n_work - state.next_w))
     return state.raw3.T, state.segments, leftover

@@ -76,6 +76,74 @@ def render_sharded(scene, cam: Camera, config: cfg_mod.RenderConfig, mesh):
     return jax.jit(fn)(scene, cam)
 
 
+def calibrate_iters_sharded(scene, cam: Camera,
+                            config: cfg_mod.RenderConfig, mesh,
+                            slack: float = 1.25) -> int:
+    """Static per-shard trip count for `train_step_fused`: one sharded
+    forward pool render measures the max drain count over shards (each
+    shard runs the same static-length scan, so the slowest shard sizes it).
+    """
+    from .pool import render_pool_sharded
+
+    _, _, iters = render_pool_sharded(scene, cam, config, mesh)
+    return int(-(-int(iters) * slack // 1))
+
+
+def train_step_fused(params, rest_scene, cam: Camera,
+                     config: cfg_mod.RenderConfig, target, mesh,
+                     n_iters: int, lr: float = 1e-2):
+    """Training step through the reverse-mode regeneration pool, sharded.
+
+    The multi-chip version of integrator/diff_fused: each device runs its
+    own fixed-trip diff pool over a contiguous row-block (on TPU the
+    custom-VJP Pallas megakernel in both directions), and the parameter
+    gradients are all-reduced by AD itself (the replicated->varying pvary
+    of `params` transposes to exactly one psum per leaf — the DP pattern
+    the BASELINE prescribes, overlapped with the backward by XLA's
+    scheduler).  Scene must satisfy `integrator.diff_fused.supported`.
+
+    Returns (new_params, loss, leftover); `leftover` MUST be checked
+    host-side — nonzero means n_iters did not drain some shard's queue and
+    the image/gradient is missing that work (see diff_fused docstring).
+    """
+    from ..integrator import pool_fused
+
+    n_dev = mesh.shape[RAY_AXIS]
+    assert config.ny % n_dev == 0, (
+        f"ny={config.ny} must divide evenly over {n_dev} devices")
+    rows = config.ny // n_dev
+    local_pix = rows * config.nx
+    dtype = config.jnp_dtype
+
+    def local_loss(params, cam, target_shard):
+        scene = sb.combine(params, rest_scene)
+        shard = jax.lax.axis_index(RAY_AXIS)
+        raw0 = jnp.zeros((local_pix, 3), dtype)
+        raw, _, leftover = pool_fused.render_pool_fused(
+            scene, cam, config, raw0, 0, pix0=shard * local_pix,
+            total_pix=config.n_pixels, vary_axes=(RAY_AXIS,),
+            static_iters=n_iters)
+        img = (raw / config.spp).reshape(rows, config.nx, 3)
+        # mean over the FULL image: local sum / global count
+        loss = jnp.sum((img - target_shard) ** 2) / (config.ny * config.nx * 3)
+        return loss, leftover
+
+    def step(params, cam, target_shard):
+        (loss, leftover), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, cam, target_shard)
+        loss = jax.lax.psum(loss, RAY_AXIS)
+        leftover = jax.lax.psum(leftover, RAY_AXIS)
+        # grads are already the global gradient here (pvary transpose ==
+        # psum; see train_step above)
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss, leftover
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P(), P(), P(RAY_AXIS)),
+                   out_specs=(P(), P(), P()))
+    return jax.jit(fn)(params, cam, target)
+
+
 def train_step(params, rest_scene, cam: Camera, config: cfg_mod.RenderConfig,
                target, mesh, lr: float = 1e-2):
     """One inverse-rendering SGD step: L2 image loss, psum'd param grads.

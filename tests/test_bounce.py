@@ -97,11 +97,17 @@ def test_fused_matches_vector_marble_light_scene():
 
 
 def test_unsupported_scenes_fall_back():
+    # round 4 lifted media/bezier/klein into the fused path; the remaining
+    # exclusions are image textures, BVH traversal, and russian roulette
     cfg = CFG
     for spec in [scenes.cornell_smoke(), scenes.test_bezier(),
                  scenes.klein_scene()]:
         scene = compile_scene(spec.objects, sky=spec.sky)
-        assert not bounce.supported(scene, cfg)
+        assert bounce.supported(scene, cfg)
+    spec = scenes.textured_scene()          # image texture -> general pool
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    assert not bounce.supported(scene, cfg)
+    assert not bounce.supported(scene, cfg.replace(traversal="bvh"))
     # render still works through the auto dispatcher
     spec = scenes.klein_scene()
     scene = compile_scene(spec.objects, sky=spec.sky)
@@ -155,3 +161,33 @@ def test_pallas_interpret_matches_jnp_step():
     np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(got[5]), np.asarray(ref[5]))
+
+
+def test_fused_matches_vector_cornell_smoke():
+    # constant media (geometry.scm:545-578) now resolve inside the fused
+    # step: boundary interval + exponential scatter distance drawn from
+    # the same GROUP_MEDIUM hash columns as the general pool
+    f, v, sf, sv = _render_both(scenes.cornell_smoke(), CFG)
+    _assert_close(f, v)
+    assert abs(sf - sv) <= 0.01 * sv + 50
+
+
+def test_fused_matches_vector_klein():
+    # kleinian SDF sphere-traced in the fused step (geometry.scm:580-664)
+    cfg = RenderConfig(nx=8, ny=8, spp=1, max_depth=3, use_pallas=False)
+    f, v, sf, sv = _render_both(scenes.klein_scene(), cfg)
+    _assert_close(f, v)
+    assert abs(sf - sv) <= 0.01 * sv + 20
+
+
+def test_fused_matches_vector_bezier():
+    # bezier ribbons via the in-step Newton-on-seeds probe (bezier.scm)
+    f, v, sf, sv = _render_both(scenes.test_bezier(), CFG)
+    _assert_close(f, v)
+    assert abs(sf - sv) <= 0.01 * sv + 50
+
+
+def test_fused_matches_vector_cornell_bezier():
+    f, v, *_ = _render_both(scenes.cornell_bezier(),
+                            CFG.replace(light_sampling=True))
+    _assert_close(f, v)

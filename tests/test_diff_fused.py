@@ -107,3 +107,34 @@ def test_strided_scan_mode_matches_forward():
     assert int(leftover) == 0
     assert int(seg_s) == int(seg_w)
     np.testing.assert_array_equal(np.asarray(raw_s), np.asarray(raw_w))
+
+
+@pytest.mark.parametrize("scene_name", ["cornell_smoke", "test_bezier",
+                                        "klein_scene"])
+def test_gradients_finite_through_exotic_groups(scene_name):
+    # media / bezier / klein now run inside the fused step (round 4); the
+    # reverse-mode pool must produce finite gradients with real signal on
+    # the scene leaves each group touches (medium density is not a leaf;
+    # albedo always is; bezier cp via the implicit root; klein t/normal via
+    # the implicit-function correction + CD normal)
+    spec = getattr(scenes, scene_name)()
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    cam = spec.camera(aspect=1.0)
+    cfg = RenderConfig(nx=8, ny=8, spp=1, max_depth=4, pool_rays=128)
+    assert diff_fused.supported(scene, cfg)
+    n_iters = diff_fused.calibrate_iters(scene, cam, cfg)
+    params, rest = sb.partition(scene)
+
+    def loss(p):
+        s = sb.combine(p, rest)
+        raw, _, leftover = diff_fused.render_diff_fused(s, cam, cfg, n_iters)
+        return jnp.mean(raw), leftover
+
+    (val, leftover), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(params)
+    assert int(leftover) == 0
+    assert np.isfinite(float(val))
+    for name, leaf in g.items():
+        assert np.isfinite(np.asarray(leaf)).all(), name
+    assert np.abs(np.asarray(g["tex_color"])).max() > 0
+    if scene_name == "test_bezier":
+        assert np.abs(np.asarray(g["bez_cp"])).max() > 0

@@ -151,3 +151,72 @@ def test_psum_gradients_match_single_device():
         np.testing.assert_allclose(
             np.asarray(grads_shard[name]), np.asarray(grads_ref[name]),
             rtol=2e-4, atol=1e-6, err_msg=name)
+
+
+def _fused_train_vs_single(dtype_str, grad_rtol, grad_atol_scale):
+    # The sharded reverse-mode regeneration pool (train_step_fused) must
+    # produce the SAME loss and psum'd gradients as the single-device diff
+    # pool on the same workload: work-item RNG is keyed by global
+    # (pass, pixel) ids, so a drained sharded pool renders the identical
+    # image (verified bitwise), and the pvary-transpose psum is the only
+    # cross-device step.  Forward values are BIT-identical; backward sums
+    # the same per-path gradients in a different association order, so the
+    # f32 run carries a loose bound (near-grazing sphere hits produce
+    # large canceling d(t)/d(center) terms) and the f64 run a tight one
+    # (measured 1e-12 — proves the psum machinery is exactly right).
+    from scheme_raytrace_tpu.integrator import diff_fused
+    from scheme_raytrace_tpu.parallel import (train_step_fused,
+                                              calibrate_iters_sharded)
+
+    f64 = dtype_str == "f64"
+    dtype = jnp.float64 if f64 else jnp.float32
+    objs = [ob.Sphere((0, -100.5, -3), 100, ob.Lambertian((0.5, 0.5, 0.5))),
+            ob.Sphere((0, 0, -3), 1.5, ob.Lambertian((0.4, 0.5, 0.6))),
+            ob.Sphere((0, 3, -3), 1.0, ob.DiffuseLight((4, 4, 4)))]
+    cam = make_camera((0, 0, 2), (0, 0, -1), vfov=40.0, aspect=1.0)
+    cfg = RenderConfig(nx=8, ny=8, spp=2, max_depth=4, light_sampling=True,
+                       pool_rays=128, dtype=dtype_str)
+    mesh = make_mesh(8)
+    scene = compile_scene(objs, sky=(np.ones(3), np.ones(3)), dtype=dtype)
+    assert diff_fused.supported(scene, cfg)
+    target = jnp.zeros((8, 8, 3), dtype)
+    params, rest = sb.partition(scene)
+    lr = 1e-2
+
+    n_iters = calibrate_iters_sharded(scene, cam, cfg, mesh)
+    new_params, loss, leftover = train_step_fused(
+        params, rest, cam, cfg, target, mesh, n_iters, lr=lr)
+    assert int(leftover) == 0
+    grads_shard = {k: (params[k] - new_params[k]) / lr for k in params}
+
+    n_iters_ref = diff_fused.calibrate_iters(scene, cam, cfg)
+
+    def ref_loss(params):
+        s = sb.combine(params, rest)
+        raw, _, lo = diff_fused.render_diff_fused(s, cam, cfg, n_iters_ref)
+        img = (raw / cfg.spp).reshape(8, 8, 3)
+        return jnp.sum((img - target) ** 2) / (8 * 8 * 3), lo
+
+    (ref_l, lo_ref), grads_ref = jax.value_and_grad(
+        ref_loss, has_aux=True)(params)
+    assert int(lo_ref) == 0
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+    for name in params:
+        ref = np.asarray(grads_ref[name])
+        atol = grad_atol_scale * max(1e-6, float(np.abs(ref).max()))
+        np.testing.assert_allclose(
+            np.asarray(grads_shard[name]), ref,
+            rtol=grad_rtol, atol=atol, err_msg=name)
+
+
+def test_train_step_fused_matches_single_device_diff_pool():
+    _fused_train_vs_single("f32", grad_rtol=0.1, grad_atol_scale=2e-2)
+
+
+@pytest.mark.slow
+def test_train_step_fused_matches_single_device_diff_pool_f64():
+    jax.config.update("jax_enable_x64", True)
+    try:
+        _fused_train_vs_single("f64", grad_rtol=1e-9, grad_atol_scale=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", False)
