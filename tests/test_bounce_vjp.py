@@ -106,9 +106,14 @@ def test_vjp_kernel_matches_jnp_vjp_cornell():
     _check_vjp_matches(scenes.cornell_box())
 
 
+@pytest.mark.slow
 def test_vjp_kernel_grad_through_chain():
     # two chained steps under jax.grad: the custom_vjp must compose
-    # (residuals = the carry) and produce finite, nonzero pk gradients
+    # (residuals = the carry) and produce finite, nonzero pk gradients.
+    # Slow tier: two fwd + two bwd interpret-mode kernel compiles (~60s
+    # on this host); single-step bwd correctness stays in the fast tier
+    # above, and on-chip composition is checked by
+    # tools/check_vjp_grads_tpu.py + the bench's value_and_grad.
     (plan, pk, gitem, px, py, fresh, alive, depth,
      o, d, time, rad, tp) = _state(_small_spec(), m=128)
     stepfn = bounce.as_pallas_vjp(plan, 128, interpret=True)
@@ -123,7 +128,7 @@ def test_vjp_kernel_grad_through_chain():
             s = (o2, d2, t2, r2, tp2)
         return sum(jnp.sum(x) for x in s[3])
 
-    g = jax.grad(loss)(pk)
+    g = jax.jit(jax.grad(loss))(pk)
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0

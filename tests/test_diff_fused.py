@@ -93,6 +93,7 @@ def test_grad_matches_fd():
         ad, fd)
 
 
+@pytest.mark.slow
 def test_strided_scan_mode_matches_forward():
     # pool_strided's fixed-length scan variant (reverse-mode-capable):
     # image equals its own while_loop drain bitwise when the queue drains
@@ -109,8 +110,9 @@ def test_strided_scan_mode_matches_forward():
     np.testing.assert_array_equal(np.asarray(raw_s), np.asarray(raw_w))
 
 
-@pytest.mark.parametrize("scene_name", ["cornell_smoke", "test_bezier",
-                                        "klein_scene"])
+@pytest.mark.parametrize("scene_name", [
+    "cornell_smoke", "test_bezier",
+    pytest.param("klein_scene", marks=pytest.mark.slow)])
 def test_gradients_finite_through_exotic_groups(scene_name):
     # media / bezier / klein now run inside the fused step (round 4); the
     # reverse-mode pool must produce finite gradients with real signal on

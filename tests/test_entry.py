@@ -3,6 +3,8 @@ device; dryrun_multichip(8) runs on the virtual CPU mesh."""
 
 import sys
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -18,7 +20,10 @@ def test_entry_compiles_and_runs():
     assert int(out.sample_count) == 1
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
+    # slow tier: the driver runs dryrun_multichip directly every round,
+    # so the fast tier does not duplicate its 8-device compiles
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
     g.dryrun_multichip(8)

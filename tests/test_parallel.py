@@ -119,8 +119,11 @@ def test_psum_gradients_match_single_device():
     from scheme_raytrace_tpu.parallel.render import _pass_rows
     objs = [ob.Sphere((0, 0, -3), 2.0, ob.Lambertian((0.4, 0.5, 0.6)))]
     cam = make_camera((0, 0, 0), (0, 0, -1), vfov=30.0, aspect=1.0)
-    cfg = RenderConfig(nx=8, ny=8, spp=2, max_depth=2)
-    mesh = make_mesh(8)
+    # 4-device mesh + spp1: the unsharded reference builds all shards'
+    # renders into ONE grad graph, so its compile scales with both —
+    # 8-dev/spp2 put this test at 109s on the 2-core host (tier budget)
+    cfg = RenderConfig(nx=8, ny=8, spp=1, max_depth=2)
+    mesh = make_mesh(4)
     scene = compile_scene(objs, sky=(np.ones(3), np.ones(3)))
     target = jnp.zeros((8, 8, 3))
     params, rest = sb.partition(scene)
@@ -130,13 +133,13 @@ def test_psum_gradients_match_single_device():
     # recover the psum'd gradient from the SGD update
     grads_shard = {k: (params[k] - new_params[k]) / lr for k in params}
 
-    rows, dtype = 1, jnp.float32
+    rows, dtype = cfg.ny // 4, jnp.float32
     dcfg = cfg.replace(differentiable=True)
 
     def ref_loss(params):
         s = sb.combine(params, rest)
         total = 0.0
-        for shard in range(8):
+        for shard in range(4):
             acc = jnp.zeros((rows, cfg.nx, 3), dtype)
             for i in range(cfg.spp):
                 acc = acc + _pass_rows(s, cam, dcfg, i, shard, rows, dtype)

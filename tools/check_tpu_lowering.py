@@ -38,6 +38,16 @@ def main():
          RenderConfig(nx=64, ny=64, spp=4, max_depth=100)),
         ("three_spheres", scenes.three_spheres,
          RenderConfig(nx=64, ny=64, spp=4, max_depth=100)),
+        # round-4 fused coverage: media / klein / bezier in-kernel, and the
+        # >UNROLL_MAX dynamic-offset prim loop (227 spheres)
+        ("cornell_smoke", scenes.cornell_smoke,
+         RenderConfig(nx=64, ny=64, spp=4, max_depth=100)),
+        ("cornell_klein", scenes.cornell_klein,
+         RenderConfig(nx=64, ny=64, spp=4, max_depth=100)),
+        ("cornell_bezier", scenes.cornell_bezier,
+         RenderConfig(nx=64, ny=64, spp=4, max_depth=100)),
+        ("rtow_final", lambda: scenes.random_scene(seed=0),
+         RenderConfig(nx=64, ny=64, spp=4, max_depth=100)),
     ]
     failed = []
     for name, scene_fn, config in checks:
@@ -52,10 +62,22 @@ def main():
             print(f"[{name}] m={m}: {'OK' if ok else 'FAILED'}")
             if not ok:
                 failed.append((name, m))
+
+    # the reverse-mode (custom-VJP) kernel pair on the bench workload
+    spec = scenes.cornell_box()
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    config = RenderConfig(nx=512, ny=512, spp=8, max_depth=100,
+                          light_sampling=True)
+    plan = bounce.make_plan(scene, config)
+    ok = bounce.mosaic_compiles_vjp(plan, 12 * 1024, config.dtype)
+    print(f"[cornell_light vjp] m=12k: {'OK' if ok else 'FAILED'}")
+    if not ok:
+        failed.append(("cornell_light_vjp", 12 * 1024))
+
     if failed:
-        print(f"FAILED Mosaic lowering: {failed}")
+        print(f"FAILED Mosaic compile: {failed}")
         return 1
-    print("all Mosaic lowerings OK")
+    print("all Mosaic kernel compiles OK")
     return 0
 
 
