@@ -72,19 +72,65 @@ def _camera_rays(cam, config, item, sample_base, n_pix, pix0, total_pix,
     return o, d, time, abs_item
 
 
+# Pixels per framebuffer band: the flush scatter-add's per-update cost
+# grows with its OPERAND size on TPU (measured: identical work at 512^2 /
+# 2048^2 frames runs 57.2M / 23.6M rays/s — the only difference is the
+# [3, n_pix] scatter target).  Rendering large frames as sequential
+# row-band pool drains (scan over bands, one compiled band graph) keeps
+# every scatter inside a <=256k-pixel buffer.  Band-major issue order is
+# BIT-identical to frame-major: RNG is keyed by global (pass, pixel) ids
+# and each pixel's contributions still arrive pass-major.
+BAND_PIX = 256 * 1024
+
+
+def _band_rows(ny, nx):
+    """Largest row count dividing ny with band_rows * nx <= BAND_PIX."""
+    cap = max(1, BAND_PIX // max(nx, 1))
+    for r in range(min(cap, ny), 0, -1):
+        if ny % r == 0:
+            return r
+    return ny
+
+
 def render_pool_auto(scene, cam, config, raw0, sample_base, pix0=0,
                      total_pix=None, vary_axes=()):
     """Dispatch to the fused SoA pool (integrator/pool_fused.py — the TPU
     fast path, Pallas megakernel) when the scene is covered, else to the
     general masked-sweep pool below (image-tex scenes, BVH traversal,
-    russian roulette).  Identical estimator + RNG streams."""
+    russian roulette).  Identical estimator + RNG streams.  Frames larger
+    than BAND_PIX render as sequential row-band drains (see BAND_PIX)."""
     from . import bounce, pool_fused
     if bounce.supported(scene, config):
-        return pool_fused.render_pool_fused(scene, cam, config, raw0,
-                                            sample_base, pix0, total_pix,
-                                            vary_axes)
-    return render_pool(scene, cam, config, raw0, sample_base, pix0,
-                       total_pix, vary_axes)
+        fn = pool_fused.render_pool_fused
+    else:
+        fn = render_pool
+
+    n_pix = raw0.shape[0]
+    whole_frame = (not vary_axes and pix0 == 0
+                   and (total_pix is None or total_pix == n_pix)
+                   and n_pix == config.n_pixels)
+    if whole_frame and n_pix > BAND_PIX:
+        band_rows = _band_rows(config.ny, config.nx)
+        band_pix = band_rows * config.nx
+        n_bands = n_pix // band_pix
+        if n_bands > 1:
+            def body(raw, b):
+                raw_band = jax.lax.dynamic_slice(
+                    raw, (b * band_pix, 0), (band_pix, 3))
+                out, segs, iters = fn(scene, cam, config, raw_band,
+                                      sample_base, pix0=b * band_pix,
+                                      total_pix=n_pix)
+                raw = jax.lax.dynamic_update_slice(raw, out,
+                                                   (b * band_pix, 0))
+                return raw, (segs, iters)
+
+            raw, (segs, iters) = jax.lax.scan(
+                body, raw0, jnp.arange(n_bands, dtype=jnp.int32))
+            return (raw, jnp.sum(segs, dtype=segs.dtype),
+                    jnp.sum(iters, dtype=iters.dtype))
+
+    return fn(scene, cam, config, raw0, sample_base, pix0, total_pix,
+              vary_axes)
 
 
 def render_pool(scene, cam, config, raw0, sample_base, pix0=0,

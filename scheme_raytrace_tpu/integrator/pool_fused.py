@@ -59,18 +59,31 @@ class FusedState(NamedTuple):
     iters: jnp.ndarray
 
 
-def _issue(item, config, sample_base, n_pix, pix0, total_pix):
-    """(gitem, px, py) for local work items (same mapping as pool.py)."""
-    pix_local = item % n_pix
-    pass_idx = item // n_pix
+def _issue(item, config, sample_base, n_pix, pix0, total_pix,
+           stride=1, offset=0):
+    """(gitem, px, py, pix_local) for local work items.
+
+    Default (stride=1, offset=0): pass-major over this shard's n_pix
+    pixels starting at pix0 (band/row sharding — same mapping as pool.py).
+    With stride=n_dev, offset=shard: local item k maps to GLOBAL work item
+    k*n_dev + shard — the interleaved sharding of parallel.pool's
+    balanced mode, where every shard samples the whole frame (n_pix =
+    total_pix, pix0 = 0) and partial framebuffers are psum'd.  The RNG is
+    keyed by the global item either way, so the union of all shards'
+    samples is the exact unsharded sample set.
+    """
+    g = item * stride + offset
+    pix_local = g % n_pix
+    pass_idx = g // n_pix
     gpix = pix0 + pix_local
     gitem = (sample_base + pass_idx) * total_pix + gpix
     ys, xs = jnp.divmod(gpix, config.nx)
-    return gitem, xs, ys
+    return gitem, xs, ys, pix_local
 
 
 def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
-                      total_pix=None, vary_axes=(), static_iters=None):
+                      total_pix=None, vary_axes=(), static_iters=None,
+                      item_stride=1, item_offset=0):
     """Drop-in render_pool with the fused bounce; same return contract.
 
     `static_iters=None` (forward rendering) drains the work queue with a
@@ -78,12 +91,18 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
     `scan` — the REVERSE-MODE-DIFFERENTIABLE pool (integrator/diff_fused):
     same estimator, same RNG, bit-identical image, but with a static trip
     count so jax.grad applies; the caller must size static_iters to drain
-    the queue (checked via the returned leftover count).  The scan path
-    always uses the jnp step (the Pallas megakernel has no VJP).
+    the queue (checked via the returned leftover count).  On TPU the scan
+    path differentiates through the custom-VJP megakernel.
+
+    `item_stride`/`item_offset`: interleaved work sharding (see _issue) —
+    this shard processes global work items k*stride + offset; raw0 must
+    then be the FULL frame and the caller psums partial framebuffers.
     """
     n_pix = raw0.shape[0]
     total_pix = config.n_pixels if total_pix is None else total_pix
-    n_work = n_pix * config.spp
+    n_work_global = n_pix * config.spp
+    assert n_work_global % item_stride == 0, (n_work_global, item_stride)
+    n_work = n_work_global // item_stride      # LOCAL work items
     # Both bounds 128-aligned: a user-set --pool-rays that is not a multiple
     # of 128 must not leak through (bounce.as_pallas asserts m % 128 == 0).
     pool_cap = max(128, config.pool_rays // 128 * 128)
@@ -122,8 +141,8 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
         LAST_STEP_IMPL["forward"] = "pallas" if use_pallas else "jnp"
 
     item0 = jnp.arange(m, dtype=jnp.int32)
-    gitem0, xs0, ys0 = _issue(item0, config, sample_base, n_pix, pix0,
-                              total_pix)
+    gitem0, xs0, ys0, _ = _issue(item0, config, sample_base, n_pix, pix0,
+                                 total_pix, item_stride, item_offset)
     z = jnp.zeros(m, dtype)
     zi = jnp.zeros(m, jnp.int32)
     state = FusedState(
@@ -159,7 +178,7 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
 
         # --- stage finished paths in the sequence buffer -------------------
         terminated = st.alive & ~scattering
-        pixl = st.item % n_pix
+        pixl = (st.item * item_stride + item_offset) % n_pix
         onehot = (col == st.seq_k[None, :]) & terminated[None, :]
         seq_x = st.seq_x + jnp.where(onehot, rad[0][None, :], 0.0)
         seq_y = st.seq_y + jnp.where(onehot, rad[1][None, :], 0.0)
@@ -172,8 +191,9 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
         new_local = st.next_w + jnp.cumsum(t_i32) - t_i32
         has_work = terminated & (new_local < n_work)
         item = jnp.where(has_work, new_local, st.item)
-        gitem_new, xs, ys = _issue(item, config, sample_base, n_pix, pix0,
-                                   total_pix)
+        gitem_new, xs, ys, _ = _issue(item, config, sample_base, n_pix,
+                                      pix0, total_pix, item_stride,
+                                      item_offset)
         gitem = jnp.where(has_work, gitem_new, st.gitem)
         px = jnp.where(has_work, xs.astype(dtype), st.px)
         py = jnp.where(has_work, ys.astype(dtype), st.py)

@@ -12,7 +12,10 @@ The per-shard pool is itself the live-ray compaction mechanism (terminated
 lanes immediately re-issue the shard's next work item), so no
 collective-permute rebalance is needed while a shard still has queued
 work; shards only idle in the final drain tail, bounded by
-pool_rays/shard_work of the frame.
+pool_rays/shard_work of the frame.  For frames whose COST is spatially
+concentrated (a fractal in some rows), `render_pool_balanced` below is
+the CP/EP-analogue alternative: interleaved work items flatten per-shard
+work by construction at the price of one framebuffer psum.
 """
 
 from __future__ import annotations
@@ -28,6 +31,60 @@ from .. import config as cfg_mod
 from ..camera import Camera
 from ..integrator.pool import render_pool_auto
 from .mesh import RAY_AXIS
+
+
+def render_pool_balanced(scene, cam: Camera, config: cfg_mod.RenderConfig,
+                         mesh, raw0=None, sample_base=0):
+    """Load-balanced sharded pool render: interleaved work items +
+    framebuffer all-reduce (the SURVEY §5.7 CP/EP analogue, implemented).
+
+    Row-band sharding (render_pool_sharded) needs zero collectives but
+    inherits the frame's spatial cost structure: a shard whose rows hold
+    the expensive content (e.g. a kleinian fractal's sphere-traced pixels
+    vs cheap sky rows) becomes the drain-tail straggler.  Here shard s
+    processes global work items k*n_dev + s — every shard samples the
+    WHOLE frame in an interleaved comb, so per-shard work is balanced by
+    construction for ANY spatial cost distribution — and the per-shard
+    partial framebuffers are combined with one psum ([n_pix, 3] over ICI,
+    ~3MB at 512^2; this all-reduce is the price of the balance).  The
+    union of shard sample sets is the EXACT unsharded sample set (RNG
+    keyed by global work item), so the combined image matches the
+    unsharded render to f32 summation-order noise.
+
+    Returns (raw [ny,nx,3], segments, iters) with iters = pmax over
+    shards — the straggler bound the balancing minimizes.
+    """
+    from ..integrator import bounce, pool_fused
+
+    n_dev = mesh.shape[RAY_AXIS]
+    assert (config.n_pixels * config.spp) % n_dev == 0, (
+        f"total work {config.n_pixels * config.spp} must divide over "
+        f"{n_dev} devices")
+    assert bounce.supported(scene, config), (
+        "balanced mode runs the fused pool; scene not covered")
+    dtype = config.jnp_dtype
+    if raw0 is None:
+        raw0 = jnp.zeros((config.n_pixels, 3), dtype)
+    else:
+        raw0 = raw0.reshape(config.n_pixels, 3)
+
+    def local(scene, cam):
+        shard = jax.lax.axis_index(RAY_AXIS)
+        zero = jax.lax.pvary(jnp.zeros((config.n_pixels, 3), dtype),
+                             (RAY_AXIS,))
+        raw, segments, iters = pool_fused.render_pool_fused(
+            scene, cam, config, zero, sample_base,
+            pix0=0, total_pix=config.n_pixels, vary_axes=(RAY_AXIS,),
+            item_stride=n_dev, item_offset=shard)
+        return (jax.lax.psum(raw, RAY_AXIS),
+                jax.lax.psum(segments, RAY_AXIS),
+                jax.lax.pmax(iters, RAY_AXIS))
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                   out_specs=(P(), P(), P()))
+    raw, segments, iters = jax.jit(fn)(scene, cam)
+    return ((raw0 + raw).reshape(config.ny, config.nx, 3), segments,
+            iters)
 
 
 def render_pool_sharded(scene, cam: Camera, config: cfg_mod.RenderConfig,

@@ -223,3 +223,75 @@ def test_train_step_fused_matches_single_device_diff_pool_f64():
         _fused_train_vs_single("f64", grad_rtol=1e-9, grad_atol_scale=1e-10)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_balanced_pool_matches_unsharded():
+    # Interleaved work sharding + framebuffer psum (render_pool_balanced):
+    # the union of shard sample sets is the EXACT unsharded sample set, so
+    # segments match exactly and the image to f32 summation-order noise.
+    from scheme_raytrace_tpu.parallel import render_pool_balanced
+    from scheme_raytrace_tpu.integrator import pool as pool_mod
+
+    scene, cam = _scene()
+    cfg = CFG.replace(spp=2, pool_rays=128)
+    mesh = make_mesh(8)
+    raw_b, seg_b, iters_b = render_pool_balanced(scene, cam, cfg, mesh)
+    raw0 = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+    raw_u, seg_u, _ = jax.jit(
+        lambda s, c: pool_mod.render_pool_auto(s, c, cfg, raw0, 0)
+    )(scene, cam)
+    assert int(seg_b) == int(seg_u)
+    np.testing.assert_allclose(np.asarray(raw_b).reshape(-1, 3),
+                               np.asarray(raw_u), rtol=1e-5, atol=1e-5)
+
+
+def test_balanced_pool_balances_per_shard_work():
+    # The CP-analogue claim: on a frame whose cost concentrates in some
+    # rows (bouncy spheres low, 1-segment sky high), row-band sharding
+    # leaves a straggler shard carrying ~2.5x the segments of the
+    # lightest; interleaved work sharding equalizes per-shard segments by
+    # construction.  Measured directly on the per-shard segment counters.
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from scheme_raytrace_tpu.integrator import pool_fused
+    from scheme_raytrace_tpu.parallel.mesh import RAY_AXIS
+
+    objs = [ob.Sphere((0, -100.5, -2), 100, ob.Lambertian((0.6, 0.6, 0.6))),
+            ob.Sphere((0, -0.2, -2), 0.6, ob.Lambertian((0.7, 0.4, 0.3))),
+            ob.Sphere((-0.9, -0.3, -2), 0.4, ob.Lambertian((0.3, 0.5, 0.7)))]
+    cam = make_camera((0, 0.4, 1), (0, -0.2, -2), vfov=50.0, aspect=1.0)
+    scene = compile_scene(objs, sky="gradient")
+    cfg = RenderConfig(nx=16, ny=16, spp=16, max_depth=8, pool_rays=128)
+    mesh = make_mesh(8)
+    local_pix = cfg.n_pixels // 8
+
+    def per_shard_segs(mode):
+        def local(scene, cam):
+            shard = jax.lax.axis_index(RAY_AXIS)
+            if mode == "band":
+                raw0 = jax.lax.pvary(jnp.zeros((local_pix, 3), jnp.float32),
+                                     (RAY_AXIS,))
+                _, segs, _ = pool_fused.render_pool_fused(
+                    scene, cam, cfg, raw0, 0, pix0=shard * local_pix,
+                    total_pix=cfg.n_pixels, vary_axes=(RAY_AXIS,))
+            else:
+                raw0 = jax.lax.pvary(
+                    jnp.zeros((cfg.n_pixels, 3), jnp.float32), (RAY_AXIS,))
+                _, segs, _ = pool_fused.render_pool_fused(
+                    scene, cam, cfg, raw0, 0, pix0=0,
+                    total_pix=cfg.n_pixels, vary_axes=(RAY_AXIS,),
+                    item_stride=8, item_offset=shard)
+            return jnp.reshape(segs, (1,))
+
+        fn = shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                       out_specs=P(RAY_AXIS))
+        return np.asarray(jax.jit(fn)(scene, cam)).astype(float)
+
+    band = per_shard_segs("band")
+    bal = per_shard_segs("balanced")
+    assert band.sum() == bal.sum()            # same global sample set
+    band_ratio = band.max() / band.min()
+    bal_ratio = bal.max() / bal.min()
+    assert band_ratio > 1.5, band              # the scene IS imbalanced
+    assert bal_ratio < 1.15, bal               # interleaving flattens it
+    assert bal_ratio < band_ratio

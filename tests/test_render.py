@@ -118,3 +118,33 @@ def test_render_image_mean():
     mean, st = R.render_image(scene, cam, CFG)
     np.testing.assert_allclose(np.asarray(mean),
                                np.asarray(st.raw_sum) / 2.0, rtol=1e-6)
+
+
+def test_banded_render_bit_identical():
+    # Large frames render as sequential row-band pool drains (the flush
+    # scatter's cost scales with its operand size on TPU — pool.BAND_PIX).
+    # Band-major issue order must be BIT-identical to frame-major: RNG is
+    # keyed by global (pass, pixel) ids and per-pixel accumulation stays
+    # pass-major.  Forced here by shrinking the threshold.
+    from scheme_raytrace_tpu.integrator import pool as pool_mod
+
+    spec = scenes.cornell_box()
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    cam = spec.camera(aspect=1.0)
+    cfg = RenderConfig(nx=16, ny=16, spp=2, max_depth=6,
+                       light_sampling=True, pool_rays=128)
+    raw0 = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+    ref, seg_ref, _ = jax.jit(
+        lambda s, c: pool_mod.render_pool_auto(s, c, cfg, raw0, 0)
+    )(scene, cam)
+
+    old = pool_mod.BAND_PIX
+    pool_mod.BAND_PIX = 64            # 16x16 frame -> 4 bands of 4 rows
+    try:
+        banded, seg_b, _ = jax.jit(
+            lambda s, c: pool_mod.render_pool_auto(s, c, cfg, raw0, 0)
+        )(scene, cam)
+    finally:
+        pool_mod.BAND_PIX = old
+    assert int(seg_b) == int(seg_ref)
+    np.testing.assert_array_equal(np.asarray(banded), np.asarray(ref))
