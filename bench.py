@@ -106,12 +106,12 @@ def main():
     is_tpu = jax.devices()[0].platform != "cpu"
     size = 512 if is_tpu else 64          # CPU fallback stays runnable
     spp = 16 if is_tpu else 1
-    # pool_rays=48k: measured optimum for this workload on v5e (sweep:
-    # 32k 48.4M / 48k 49.1M / 64k 46.3M / 128k 42.9M / 256k 37.1M rays/s —
-    # smaller pools amortize the drain tail over more work generations)
+    # pool_rays=64k: measured optimum for the pixel-work-unit pool on v5e
+    # (sweep: 48k 153.9M / 64k 160.5M / 96k 155.1M / 128k 150.9M / 256k
+    # 88.8M rays/s; docs/PERF_NOTES.md round-4 flush campaign)
     config = RenderConfig(nx=size, ny=size, spp=spp, max_depth=100,
                           light_sampling=True, seed=0,
-                          pool_rays=(48 * 1024) if is_tpu else 8192)
+                          pool_rays=(64 * 1024) if is_tpu else 8192)
 
     spec = scenes.cornell_box()
     scene = compile_scene(spec.objects, sky=spec.sky)
@@ -135,11 +135,10 @@ def main():
 
     # fwd+bwd at full frame, half spp (enough work generations to amortize
     # the drain tail), full 100-bounce cap — the diff pool's occupancy does
-    # not depend on it.  m=12k measured best for the reverse-mode pool
-    # (sweep, custom-VJP kernel: 8k 17.5M / 12k 19.1M / 16k 17.6M /
-    # 24k 17.9M / 32k 15.1M / 48k 14.7M / 64k 12.1M / 128k 12.0M rays/s).
+    # not depend on it.  m=24k measured best for the reverse-mode pixel
+    # pool (sweep, custom-VJP kernel: 12k 39.4M / 24k 42.1M / 48k 38.6M).
     bwd_cfg = config.replace(spp=max(1, spp // 2),
-                             pool_rays=(12 * 1024) if is_tpu else 8192)
+                             pool_rays=(24 * 1024) if is_tpu else 8192)
     try:
         bwd_rays_s, bwd_segs = _measure_fwd_bwd(scene, cam, bwd_cfg)
     except Exception as e:  # noqa: BLE001

@@ -44,6 +44,25 @@ def calibrate_iters(scene, cam, config, slack: float = 1.25) -> int:
     return int(-(-int(iters) * slack // 1))
 
 
+def render_diff_fused_strict(scene, cam, config, n_iters: int,
+                             sample_base=0):
+    """render_diff_fused with a fail-loud drain guard (jit-compatible).
+
+    `calibrate_iters`' slack is a heuristic; a user training across seeds
+    could silently drop work if a later seed needs more iterations than
+    the calibrated count and they forget to check `leftover`.  This
+    wrapper poisons the radiance to NaN whenever the queue did not drain,
+    so the error surfaces immediately in the loss/gradients (and trips
+    the NaN hygiene in utils/checks) instead of biasing the estimator
+    silently.  Callers who check `leftover` themselves can keep using
+    render_diff_fused.
+    """
+    raw, segs, leftover = render_diff_fused(scene, cam, config, n_iters,
+                                            sample_base)
+    raw = jnp.where(leftover == 0, raw, jnp.nan)
+    return raw, segs, leftover
+
+
 def render_diff_fused(scene, cam, config, n_iters: int, sample_base=0):
     """Differentiable pool render.
 

@@ -57,9 +57,9 @@ def render_pool_balanced(scene, cam: Camera, config: cfg_mod.RenderConfig,
     from ..integrator import bounce, pool_fused
 
     n_dev = mesh.shape[RAY_AXIS]
-    assert (config.n_pixels * config.spp) % n_dev == 0, (
-        f"total work {config.n_pixels * config.spp} must divide over "
-        f"{n_dev} devices")
+    assert config.n_pixels % n_dev == 0, (
+        f"frame pixels {config.n_pixels} must divide over {n_dev} devices "
+        "(the work unit is a pixel)")
     assert bounce.supported(scene, config), (
         "balanced mode runs the fused pool; scene not covered")
     dtype = config.jnp_dtype

@@ -132,3 +132,56 @@ def test_vjp_kernel_grad_through_chain():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def test_pallas_interpret_matches_jnp_step_exotic():
+    # media + bezier probes INSIDE the kernel (round 4): the interpret-mode
+    # megakernel must match the jnp trace of the same step.  Small plan
+    # (one medium, one bezier, one sphere) keeps the compile fast-tier-ok.
+    from scheme_raytrace_tpu.scene import objects as ob
+    import numpy as np
+
+    cp = np.array([[-1, 0, -2], [-0.3, 1, -2], [0.3, -1, -2], [1, 0, -2]],
+                  float)
+    spec = scenes.SceneSpec([
+        ob.Sphere((0, -100.5, -1), 100, ob.Lambertian((0.5, 0.5, 0.5))),
+        ob.ConstantMedium(ob.Sphere((0, 0.5, -1), 0.6,
+                                    ob.Lambertian((1, 1, 1))),
+                          0.8, (0.9, 0.9, 0.9)),
+        ob.Bezier(cp, 0.4, ob.Lambertian((0.7, 0.4, 0.2))),
+    ], scenes.default_camera(), "gradient")
+    config = RenderConfig(nx=16, ny=16, spp=1, max_depth=6)
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    cam = spec.camera(aspect=1.0)
+    plan = bounce.make_plan(scene, config)
+    assert plan.n_media == 1 and plan.n_beziers == 1
+    pk = bounce.pack(scene, cam, plan, jnp.float32)
+
+    m = 128
+    key = jax.random.key(11)
+    ks = jax.random.split(key, 8)
+    gitem = jnp.arange(m, dtype=jnp.int32)
+    px = jax.random.randint(ks[0], (m,), 0, 16).astype(jnp.float32)
+    py = jax.random.randint(ks[1], (m,), 0, 16).astype(jnp.float32)
+    fresh = jax.random.bernoulli(ks[2], 0.5, (m,))
+    alive = fresh | jax.random.bernoulli(ks[3], 0.7, (m,))
+    depth = jax.random.randint(ks[4], (m,), 0, 4)
+    o = tuple(jax.random.uniform(ks[5], (m,)) * 2.0 - 1.0 for _ in range(3))
+    dvec = jax.random.normal(ks[6], (m, 3))
+    dvec = dvec / jnp.linalg.norm(dvec, axis=-1, keepdims=True)
+    d = (dvec[:, 0], dvec[:, 1], dvec[:, 2])
+    time = jnp.zeros(m)
+    rad = tuple(jnp.zeros(m) for _ in range(3))
+    tp = tuple(jnp.ones(m) for _ in range(3))
+
+    ref = bounce.step(plan, pk, gitem, px, py, fresh, alive, depth,
+                      o, d, time, rad, tp)
+    got = bounce.as_pallas(plan, m, interpret=True)(
+        plan, pk, gitem, px, py, fresh, alive, depth, o, d, time, rad, tp)
+    for r, g, name in [(ref[0], got[0], "o"), (ref[1], got[1], "d"),
+                       (ref[3], got[3], "rad"), (ref[4], got[4], "tp")]:
+        for i in range(3):
+            np.testing.assert_allclose(np.asarray(g[i]), np.asarray(r[i]),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"{name}[{i}]")
+    np.testing.assert_array_equal(np.asarray(got[5]), np.asarray(ref[5]))

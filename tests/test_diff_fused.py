@@ -140,3 +140,21 @@ def test_gradients_finite_through_exotic_groups(scene_name):
     assert np.abs(np.asarray(g["tex_color"])).max() > 0
     if scene_name == "test_bezier":
         assert np.abs(np.asarray(g["bez_cp"])).max() > 0
+
+
+def test_strict_render_poisons_on_underdrain():
+    # render_diff_fused_strict: an undersized n_iters must surface as NaN
+    # radiance (fail-loud), a drained one must match the plain render
+    scene, cam = _cornell()
+    raw_bad, _, lo = jax.jit(
+        lambda s, c: diff_fused.render_diff_fused_strict(s, c, CFG, 2)
+    )(scene, cam)
+    assert int(lo) > 0
+    assert np.isnan(np.asarray(raw_bad)).all()
+
+    n_iters = diff_fused.calibrate_iters(scene, cam, CFG)
+    raw_ok, _, lo = jax.jit(
+        lambda s, c: diff_fused.render_diff_fused_strict(s, c, CFG, n_iters)
+    )(scene, cam)
+    assert int(lo) == 0
+    assert np.isfinite(np.asarray(raw_ok)).all()
