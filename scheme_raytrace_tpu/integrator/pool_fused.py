@@ -228,6 +228,9 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
 
     def body_flush(st: FusedState) -> FusedState:
         # --- flush staged pixels: ONE scatter per F iterations --------------
+        # (A unique-indices variant — empty slots redirected to a dump pad
+        # past n_pix — measured SLOWER, 100M vs 160M rays/s: the padded
+        # operand loses more than the sort-free combiner saves.)
         idx = st.seq_pix.reshape(-1)
         vals = jnp.stack([st.seq_x.reshape(-1), st.seq_y.reshape(-1),
                           st.seq_z.reshape(-1)], axis=0)      # [3, S*M] dense
