@@ -56,7 +56,9 @@ class RenderConfig:
     # lanes in flight at once; terminated lanes immediately pick up the next
     # (pixel, sample) work item so occupancy stays ~100%.  Multiple of 8*128
     # for clean TPU tiling.
-    pool_rays: int = 128 * 1024
+    # v5e sweep optimum for the pixel-unit pool (docs/PERF_NOTES.md r4
+    # finale: 48k 153.9 / 64k 160.5 / 96k 155.1 / 128k 150.9M rays/s fwd)
+    pool_rays: int = 64 * 1024
     # Precision of the compute path ("f32" on TPU; "f64" for the CPU oracle —
     # requires jax_enable_x64, enforced by `jnp_dtype`).
     dtype: str = "f32"

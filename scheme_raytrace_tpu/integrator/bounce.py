@@ -504,8 +504,17 @@ def _klein_march(c, o, d, t_min, t_max):
     Runs entirely under stop_gradient by the caller's arrangement; the
     differentiable t is attached afterwards via the implicit-function
     correction (one extra DE evaluation instead of a 100-step tape)."""
-    def body(_, st):
-        ray_len, done_i, hit_i = st               # masks as i32 (Mosaic —
+    def cond(st):
+        _, done_i, _, k = st
+        # early exit: most lanes retire long before the 100-step cap —
+        # either accepted, or past t_max (the DE grows geometrically once
+        # receding, so sky lanes blow through t_max in ~40 steps) — and a
+        # retired lane can never accept again, so skipping its remaining
+        # steps is EXACT, not approximate
+        return (k < cfg_mod.KLEIN_MAX_STEPS) & jnp.any(done_i == 0)
+
+    def body(st):
+        ray_len, done_i, hit_i, k = st            # masks as i32 (Mosaic —
         done = done_i != 0                        # see _klein_dist note)
         dist = _klein_dist(c, o[0] + d[0] * ray_len, o[1] + d[1] * ray_len,
                            o[2] + d[2] * ray_len)
@@ -514,13 +523,23 @@ def _klein_march(c, o, d, t_min, t_max):
                   & (new_len < t_max))
         ray_len = jnp.where(done, ray_len, new_len)
         hit_i = hit_i | (accept & ~done).astype(jnp.int32)
-        done_i = done_i | accept.astype(jnp.int32)
-        return ray_len, done_i, hit_i
+        # exact retirements: past t_max, or receding outside the bounding
+        # region (the limit set lies within |p - c| < ~725 = sphere radius
+        # 300 + offset 424.26; a straight ray past closest approach only
+        # moves further out, so acceptance is impossible forever after)
+        px = o[0] + d[0] * ray_len - c[0]
+        py = o[1] + d[1] * ray_len - c[1]
+        pz = o[2] + d[2] * ray_len - c[2]
+        receding = (px * d[0] + py * d[1] + pz * d[2]) > 0.0
+        outside = (px * px + py * py + pz * pz) > 900.0 * 900.0
+        done_i = done_i | (accept | (new_len >= t_max)
+                           | (receding & outside)).astype(jnp.int32)
+        return ray_len, done_i, hit_i, k + 1
 
     zero = jnp.zeros_like(o[0])
     zi = jnp.zeros_like(o[0], dtype=jnp.int32)
-    ray_len, _, hit_i = jax.lax.fori_loop(
-        0, cfg_mod.KLEIN_MAX_STEPS, body, (zero, zi, zi))
+    ray_len, _, hit_i, _ = jax.lax.while_loop(
+        cond, body, (zero, zi, zi, jnp.int32(0)))
     return hit_i != 0, ray_len
 
 

@@ -108,6 +108,21 @@ def case_bool_carry_as_i32(x):
     return a + e.astype(jnp.float32)
 
 
+def case_while_any(x):
+    # early-exit march pattern: while_loop with a cross-lane any() cond
+    def cond(st):
+        a, done_i, k = st
+        return (k < 100) & jnp.any(done_i == 0)
+    def body(st):
+        a, done_i, k = st
+        a2 = a * 1.3 + 0.1
+        done_i = done_i | (a2 > 100.0).astype(jnp.int32)
+        return jnp.where(done_i != 0, a, a2), done_i, k + 1
+    a, _, _ = jax.lax.while_loop(
+        cond, body, (x, jnp.zeros_like(x, jnp.int32), jnp.int32(0)))
+    return a
+
+
 CASES = {n[5:]: f for n, f in list(globals().items())
          if n.startswith("case_")}
 
