@@ -1279,8 +1279,12 @@ def as_pallas_bwd(plan: BouncePlan, m: int, block_rows: int = 64,
     return bwdfn
 
 
-def as_pallas_vjp(plan: BouncePlan, m: int, block_rows: int = 256,
+def as_pallas_vjp(plan: BouncePlan, m: int, block_rows: int = 96,
                   interpret: bool = False):
+    # block_rows=96: v5e sweep on the bench fwd+bwd workload (m=24k):
+    # 256->44.9M / 96->51.3M / 64->49.9M / 32->50.4M rays/s — the
+    # backward's ~3x live-range pressure wants smaller tiles than the
+    # forward's 256 (docs/PERF_NOTES.md)
     """`step` with a jax.custom_vjp: Pallas forward AND Pallas backward.
 
     This is the reverse-mode fast path the BASELINE's "fwd and fwd+bwd"
