@@ -21,7 +21,7 @@ from scheme_raytrace_tpu.scene import build as sb
 
 size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 spp = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-pool = int(sys.argv[3]) if len(sys.argv) > 3 else 64 * 1024
+pool = int(sys.argv[3]) if len(sys.argv) > 3 else 24 * 1024
 mode = sys.argv[4] if len(sys.argv) > 4 else "auto"   # auto | jnp
 
 config = RenderConfig(nx=size, ny=size, spp=spp, max_depth=100,
