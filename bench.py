@@ -146,6 +146,15 @@ def main():
         bwd_rays_s, bwd_segs = None, None
     bwd_impl = pool_fused.LAST_STEP_IMPL.get("reverse", "unknown")
 
+    # Large-frame forward (exercises the row-band flush path on chip)
+    big_rays_s = None
+    if is_tpu:
+        try:
+            big_rays_s, _ = _measure_forward(scene, cam,
+                                             config.replace(nx=1024, ny=1024))
+        except Exception as e:  # noqa: BLE001
+            _log(f"bench: 1024^2 measurement failed ({type(e).__name__}: {e})")
+
     print(json.dumps({
         "metric": "rays/s (path segments, Cornell 512x512 light-sampled)"
                   if is_tpu else "rays/s (path segments, Cornell 64x64, CPU fallback)",
@@ -157,6 +166,7 @@ def main():
                             f"depth{bwd_cfg.max_depth}",
         "step_impl": step_impl,
         "fwd_bwd_step_impl": bwd_impl,
+        "fwd_1024_rays_per_s": big_rays_s,
         "n_chips": n_chips,
     }))
 
