@@ -70,6 +70,14 @@ class RenderConfig:
     # (on for TPU backends), True/False forces.  Only consulted when the
     # scene is covered by the fused path (bounce.supported).
     use_pallas: Optional[bool] = None
+    # EP-analogue material-sorted shading (SURVEY §2.4: "EP ≙ material-
+    # sorted dispatch"): rank the general pool's lanes by material type
+    # before shade() and unsort after — bit-identical estimator (shade is
+    # elementwise), measured A/B in tools/bench_material_sort.py.  Default
+    # False: masked evaluation is work-optimal under XLA (a select runs
+    # every branch for every lane regardless of order), so sorting only
+    # buys memory locality and costs two gathers (docs/PERF_NOTES.md).
+    material_sort: bool = False
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

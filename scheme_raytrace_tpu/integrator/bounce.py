@@ -243,6 +243,7 @@ def supported(scene, config) -> bool:
                + (int(scene.sph_r.shape[0]) if scene.has_spheres else 0))
     return not (scene.has_image_tex
                 or config.russian_roulette or config.traversal == "bvh"
+                or config.material_sort     # EP experiment: general pool only
                 or n_prims > MAX_FUSED_PRIMS)
 
 

@@ -192,7 +192,9 @@ def render_pool(scene, cam, config, raw0, sample_base, pix0=0,
         radiance = st.radiance + jnp.where(
             missed[:, None], st.throughput * _sky(scene, st.d), 0.0)
 
-        sc = shade.shade(u_shade, scene, config, st.d, rec)
+        shade_fn = (shade.shade_sorted if config.material_sort
+                    else shade.shade)
+        sc = shade_fn(u_shade, scene, config, st.d, rec)
         hit_live = st.alive & rec.hit
         radiance = radiance + jnp.where(hit_live[:, None],
                                         st.throughput * sc.emitted, 0.0)

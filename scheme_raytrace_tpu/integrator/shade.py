@@ -9,8 +9,11 @@ identically 1, so `throughput *= albedo` with no pdf division — this is the
 documented B3 fix that makes the RTOW-final config renderable.
 
 All branches are computed masked and select-combined: materials are a few
-VPU ops each, far cheaper than sorting/compacting by type at these scene
-sizes (EP-style material sorting is a later optimization, SURVEY §2.4).
+VPU ops each, far cheaper than sorting/compacting by type.  The EP-style
+alternative (SURVEY §2.4) exists as `shade_sorted` below
+(RenderConfig.material_sort) and measured SLOWER on TPU — 0.58-0.80x of
+masked (tools/bench_material_sort.py, docs/PERF_NOTES.md) — because a
+select runs every branch for every lane regardless of order.
 
 Randomness arrives as an explicit [N, N_U] uniform matrix (column layout
 below) so the caller chooses the stream: jax.random keyed per
@@ -120,6 +123,35 @@ def shade(u, scene, config, d, rec):
                      jnp.where(is_lam[:, None], lam_mult, albedo))
     alive = ((is_lam & lam_ok) | (is_metal & metal_ok) | is_diel | is_iso)
     return Scatter(alive, direction, mult, emitted)
+
+
+def shade_sorted(u, scene, config, d, rec):
+    """EP-analogue material-sorted dispatch (SURVEY §2.4 row 3: "EP ≙
+    material-sorted dispatch, each 'expert' = a material kernel"; §5.7's
+    Ulysses analogue "re-sorting rays by material locality").
+
+    Lanes are ranked by the hit material's type, gathered into
+    material-major order, shaded by the same kernel, and scattered back.
+    shade() is purely elementwise over lanes, so permuting lanes commutes
+    with it EXACTLY — the sorted path is bit-identical to the masked path
+    (tests/test_render.py::test_material_sorted_shading_bit_identical).
+
+    Why this is an experiment and not the default: in XLA's static-shape
+    SPMD model a sort cannot skip per-lane work — `where`/select evaluates
+    every material branch for every lane regardless of order, and dynamic
+    per-material block sizes are untileable — so sorting can only pay
+    through memory locality, against the cost of one sort + two gathers.
+    Measured A/B on a v5e chip: tools/bench_material_sort.py, recorded in
+    docs/PERF_NOTES.md (masked wins; same verdict as the per-lane BVH
+    study).  Enable via RenderConfig.material_sort=True.
+    """
+    mtype = scene.mat_type[rec.mat]
+    order = jnp.argsort(mtype, stable=True)
+    inv = jnp.argsort(order, stable=True)
+    gather = lambda x: jnp.take(x, order, axis=0)
+    sc = shade(gather(u), scene, config, gather(d),
+               jax.tree.map(gather, rec))
+    return jax.tree.map(lambda x: jnp.take(x, inv, axis=0), sc)
 
 
 def shade_uniforms(key, n_rays, dtype):

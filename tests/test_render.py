@@ -148,3 +148,31 @@ def test_banded_render_bit_identical():
         pool_mod.BAND_PIX = old
     assert int(seg_b) == int(seg_ref)
     np.testing.assert_array_equal(np.asarray(banded), np.asarray(ref))
+
+
+def test_material_sorted_shading_bit_identical():
+    # EP-analogue material-sorted dispatch (SURVEY §2.4 row 3): ranking
+    # the pool's lanes by material type before shade() and unsorting after
+    # must be BIT-identical to the masked path — shade() is elementwise,
+    # so a lane permutation commutes with it exactly.  test_scene mixes
+    # lambertian/checker/metal/dielectric (main.scm:155-174), so the sort
+    # is a real permutation every bounce.
+    from scheme_raytrace_tpu.integrator import pool as pool_mod
+
+    spec = scenes.test_scene()
+    scene = compile_scene(spec.objects, sky="gradient")  # light the materials
+    cam = spec.camera(aspect=1.0)
+    cfg = RenderConfig(nx=16, ny=16, spp=2, max_depth=8, pool_rays=128)
+    raw0 = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+
+    def run(c):
+        raw, seg, _ = jax.jit(
+            lambda s, k: pool_mod.render_pool(s, k, c, raw0, 0)
+        )(scene, cam)
+        return np.asarray(raw), int(seg)
+
+    ref, seg_ref = run(cfg)
+    srt, seg_srt = run(cfg.replace(material_sort=True))
+    assert seg_ref == seg_srt
+    np.testing.assert_array_equal(ref, srt)
+    assert ref.max() > 0
