@@ -12,6 +12,10 @@ accumulation bit-exactly (SURVEY §5.4).
     python -m scheme_raytrace_tpu render --scene cornell --nx 512 --ny 512 \
         --spp 64 --light-sampling --out cornell.ppm --chunk 8
     python -m scheme_raytrace_tpu scenes
+
+For the reference's *interactive* window UX (live image, key bindings,
+mouse probe) use the `view` subcommand — viewer.py serves the progressive
+render as a browser page straight from the render process.
 """
 
 from __future__ import annotations
@@ -94,6 +98,31 @@ def cmd_render(args):
           flush=True)
 
 
+def cmd_view(args):
+    """Interactive progressive viewer (viewer.py — the reference's GLUT
+    window, main.scm:493-573, served as a browser page from the render
+    process: live refinement, pass-count title, z/s keys, click probe)."""
+    jax, R, scene, cam, config = _build(args)
+    from .viewer import Viewer
+    v = Viewer(scene, cam, config, scene_name=args.scene,
+               spp_target=args.spp, out=args.out, host=args.host,
+               port=args.port, chunk=args.chunk)
+    v.start_server()
+    print(f"[view] serving http://{args.host}:{v.port}/ — "
+          f"z toggles rendering, s saves {args.out}, click probes a pixel",
+          flush=True)
+    try:
+        v.render_loop()
+        print(f"[view] target reached ({v.samples} passes) — "
+              "still serving, Ctrl-C to exit", flush=True)
+        while True:
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        print("[view] stopped", flush=True)
+    finally:
+        v.stop()
+
+
 def cmd_scenes(_args):
     from . import scenes
     for name in scenes.SCENES:
@@ -171,6 +200,29 @@ def main(argv=None):
 
     s = sub.add_parser("scenes", help="list available scenes")
     s.set_defaults(fn=cmd_scenes)
+
+    v = sub.add_parser("view", help="interactive progressive viewer "
+                       "(browser-served; main.scm:493-573 equivalent)")
+    v.add_argument("--scene", default="cornell")
+    v.add_argument("--nx", type=int, default=200)     # main.scm:126-127
+    v.add_argument("--ny", type=int, default=200)
+    v.add_argument("--spp", type=int, default=0,
+                   help="stop refining after N passes (0 = unbounded, "
+                        "the reference's progressive UX)")
+    v.add_argument("--max-depth", type=int, default=100)
+    v.add_argument("--seed", type=int, default=0)
+    v.add_argument("--light-sampling", action="store_true")
+    v.add_argument("--bvh", choices=["none", "median", "sah"],
+                   default="none")
+    v.add_argument("--pool-rays", type=int, default=128 * 1024)
+    v.add_argument("--chunk", type=int, default=1,
+                   help="passes per refresh (reference: 1)")
+    v.add_argument("--out", default="view.ppm",
+                   help="PPM written on the 's' key")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8808)
+    v.add_argument("--cpu", action="store_true")
+    v.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("probe", help="debug one pixel (radiance/path stats)")
     p.add_argument("x", type=int)
