@@ -36,25 +36,34 @@ def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _measure_forward(scene, cam, config):
-    """(rays/s, segments) for the pool forward render, median of 3.
+def _measure_forward(scene, cam, config, label="fwd"):
+    """(rays/s, segments) for the pool forward render, median of 5.
 
     Timed runs CHAIN the accumulation state (real progressive-render
     usage): every call has different inputs, so no transport/result-cache
     layer can fake the timing, and a device->host fetch inside the timed
-    region forces completion."""
+    region forces completion.  The chained state is a handful of large
+    device arrays already produced by the previous timed call, so (unlike
+    the fwd+bwd param chain, see _measure_fwd_bwd) no host-side dispatch
+    leaks into the timed region."""
     import numpy as np
     st, seg, iters = R.render_with_stats(scene, cam, config,
                                          R.init_state(config))
     jax.block_until_ready(st.raw_sum)          # compile + warm-up
     assert np.asarray(st.raw_sum).max() > 0, "render produced a black frame"
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         st, seg, iters = R.render_with_stats(scene, cam, config, st)
         float(st.raw_sum[0, 0, 0])
         times.append(time.perf_counter() - t0)
-    return int(seg) / sorted(times)[1], int(seg)
+    seg = int(seg)
+    med = sorted(times)[len(times) // 2]
+    _log(f"bench[{label}]: {config.nx}x{config.ny} spp{config.spp} "
+         f"m={config.pool_rays} segs={seg} iters={int(iters)} "
+         f"times_ms={[round(t * 1e3, 1) for t in times]} "
+         f"median={med * 1e3:.1f}ms -> {seg / med / 1e6:.1f}M rays/s")
+    return seg / med, seg
 
 
 def _measure_fwd_bwd(scene, cam, config):
@@ -87,9 +96,17 @@ def _measure_fwd_bwd(scene, cam, config):
     jax.block_until_ready(grads)               # compile + warm-up
     assert int(leftover) == 0, "fwd+bwd pool did not drain — raise n_iters"
     times = []
-    for _ in range(3):
+    for _ in range(5):
         # chain params (a real SGD step) so every timed call has new inputs
         params = jax.tree.map(lambda p, g: p - 1e-6 * g, params, grads)
+        # BLOCK on the chained params before starting the timer: the
+        # tree.map dispatches ~10 tiny device ops, and through the tunnel
+        # their dispatch latency is 10-100ms of NOISE that otherwise leaks
+        # into the timed region — this unblocked leak is exactly what made
+        # BENCH_r04 read 26.0M where the (already-blocked) round-4 sweep
+        # read 43.7M on the same build (tools/diag_fwdbwd_variance.py:
+        # chained 148-235ms/step vs blocked 138-148ms).
+        jax.block_until_ready(params)
         t0 = time.perf_counter()
         (loss, (segs, leftover)), grads = step(params)
         jax.block_until_ready(grads)
@@ -98,7 +115,13 @@ def _measure_fwd_bwd(scene, cam, config):
         # timed iterations perturb params — the calibrated n_iters must
         # still drain the queue or the headline silently drops work
         assert int(leftover) == 0, "fwd+bwd pool under-drained mid-bench"
-    return int(segs) / sorted(times)[1], int(segs)
+    segs = int(segs)
+    med = sorted(times)[len(times) // 2]
+    _log(f"bench[fwd+bwd]: {config.nx}x{config.ny} spp{config.spp} "
+         f"m={config.pool_rays} segs={segs} n_iters={n_iters} "
+         f"times_ms={[round(t * 1e3, 1) for t in times]} "
+         f"median={med * 1e3:.1f}ms -> {segs / med / 1e6:.1f}M rays/s")
+    return segs / med, segs
 
 
 def main():

@@ -77,6 +77,9 @@ class RenderConfig:
     # False: masked evaluation is work-optimal under XLA (a select runs
     # every branch for every lane regardless of order), so sorting only
     # buys memory locality and costs two gathers (docs/PERF_NOTES.md).
+    # Scope: GENERAL-POOL ONLY — True forces the general pool (bounce.
+    # supported routes away from the megakernel), and the wavefront/
+    # differentiable path ignores it (always masked shade.shade).
     material_sort: bool = False
 
     def replace(self, **kw) -> "RenderConfig":

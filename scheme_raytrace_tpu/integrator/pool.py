@@ -174,7 +174,7 @@ def render_pool(scene, cam, config, raw0, sample_base, pix0=0,
         def _vary(x):
             have = getattr(jax.typeof(x), "vma", frozenset())
             need = tuple(a for a in vary_axes if a not in have)
-            return jax.lax.pvary(x, need) if need else x
+            return jax.lax.pcast(x, need, to='varying') if need else x
         state = jax.tree.map(_vary, state)
 
     def body(st: PoolState) -> PoolState:

@@ -25,7 +25,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .. import config as cfg_mod
 from ..camera import Camera
@@ -70,8 +70,8 @@ def render_pool_balanced(scene, cam: Camera, config: cfg_mod.RenderConfig,
 
     def local(scene, cam):
         shard = jax.lax.axis_index(RAY_AXIS)
-        zero = jax.lax.pvary(jnp.zeros((config.n_pixels, 3), dtype),
-                             (RAY_AXIS,))
+        zero = jax.lax.pcast(jnp.zeros((config.n_pixels, 3), dtype),
+                             (RAY_AXIS,), to='varying')
         raw, segments, iters = pool_fused.render_pool_fused(
             scene, cam, config, zero, sample_base,
             pix0=0, total_pix=config.n_pixels, vary_axes=(RAY_AXIS,),

@@ -17,7 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .. import config as cfg_mod
 from ..camera import Camera, get_rays
@@ -52,8 +52,9 @@ def _mean_image_local(scene, cam, config, rows, dtype):
     def body(acc, i):
         return acc + _pass_rows(scene, cam, config, i, shard_idx, rows,
                                 dtype), None
-    # pvary: the accumulator is shard-local (varying), not replicated
-    init = jax.lax.pvary(jnp.zeros((rows, config.nx, 3), dtype), (RAY_AXIS,))
+    # pcast-to-varying: the accumulator is shard-local (varying), not replicated
+    init = jax.lax.pcast(jnp.zeros((rows, config.nx, 3), dtype), (RAY_AXIS,),
+                         to='varying')
     acc, _ = jax.lax.scan(body, init, jnp.arange(config.spp))
     return acc / config.spp
 
@@ -97,7 +98,7 @@ def train_step_fused(params, rest_scene, cam: Camera,
     The multi-chip version of integrator/diff_fused: each device runs its
     own fixed-trip diff pool over a contiguous row-block (on TPU the
     custom-VJP Pallas megakernel in both directions), and the parameter
-    gradients are all-reduced by AD itself (the replicated->varying pvary
+    gradients are all-reduced by AD itself (the replicated->varying pcast
     of `params` transposes to exactly one psum per leaf — the DP pattern
     the BASELINE prescribes, overlapped with the backward by XLA's
     scheduler).  Scene must satisfy `integrator.diff_fused.supported`.
@@ -133,7 +134,7 @@ def train_step_fused(params, rest_scene, cam: Camera,
             local_loss, has_aux=True)(params, cam, target_shard)
         loss = jax.lax.psum(loss, RAY_AXIS)
         leftover = jax.lax.psum(leftover, RAY_AXIS)
-        # grads are already the global gradient here (pvary transpose ==
+        # grads are already the global gradient here (pcast-to-varying transpose ==
         # psum; see train_step above)
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return new_params, loss, leftover
@@ -167,7 +168,7 @@ def train_step(params, rest_scene, cam: Camera, config: cfg_mod.RenderConfig,
         loss = jax.lax.psum(loss, RAY_AXIS)
         # The DP gradient all-reduce is inserted by AD itself: params enter
         # the shard-varying loss through a replicated->varying broadcast
-        # (pvary), whose transpose is exactly psum over the mesh axis — so
+        # (pcast to varying), whose transpose is exactly psum over the mesh axis — so
         # `grads` is already the global (replicated) gradient here.  An
         # explicit psum on top would multiply it by the device count
         # (caught by test_psum_gradients_match_single_device).

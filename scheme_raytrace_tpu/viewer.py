@@ -114,7 +114,6 @@ class Viewer:
         self.rays_per_s = 0.0
         self.paused = False                   # 'z' (main.scm:549-550)
         self._mean = np.zeros((config.ny, config.nx, 3), np.float32)
-        self._save_req = threading.Event()
         self._stop = threading.Event()
 
         viewer = self
@@ -150,8 +149,13 @@ class Viewer:
                                json.dumps(st).encode())
                 elif u.path == "/probe":
                     q = parse_qs(u.query)
-                    x = int(q.get("x", ["0"])[0])
-                    y = int(q.get("y", ["0"])[0])   # row 0 = image bottom
+                    try:
+                        x = int(q.get("x", ["0"])[0])
+                        y = int(q.get("y", ["0"])[0])  # row 0 = image bottom
+                    except ValueError:
+                        self._send(400, "application/json", json.dumps(
+                            dict(error="x/y must be integers")).encode())
+                        return
                     x = min(max(x, 0), config.nx - 1)
                     y = min(max(y, 0), config.ny - 1)
                     with viewer.lock:
@@ -173,7 +177,12 @@ class Viewer:
                     self._send(200, "application/json",
                                json.dumps(dict(paused=paused)).encode())
                 elif self.path == "/save":
-                    viewer._save_req.set()
+                    # write directly here (not via a flag serviced by the
+                    # render loop): a bounded run's loop may have exited,
+                    # and the reply must mean "the file exists now"
+                    with viewer.lock:
+                        mean = viewer._mean.copy()
+                    viewer._R.write_ppm(viewer.out, mean)
                     self._send(200, "application/json",
                                json.dumps(dict(path=viewer.out)).encode())
                 else:
@@ -193,6 +202,7 @@ class Viewer:
     def stop(self):
         self._stop.set()
         self.httpd.shutdown()
+        self.httpd.server_close()   # release the listening socket now
 
     def _publish(self, state, seg, dt):
         mean = np.asarray(state.raw_sum).reshape(
@@ -211,11 +221,6 @@ class Viewer:
         R, config = self._R, self.config
         state = R.init_state(config)
         while not self._stop.is_set():
-            if self._save_req.is_set():     # 'S' (main.scm:551-552)
-                self._save_req.clear()
-                with self.lock:
-                    mean = self._mean
-                R.write_ppm(self.out, mean)
             with self.lock:
                 paused = self.paused
             done = int(state.sample_count)

@@ -161,7 +161,7 @@ def _fused_train_vs_single(dtype_str, grad_rtol, grad_atol_scale):
     # produce the SAME loss and psum'd gradients as the single-device diff
     # pool on the same workload: work-item RNG is keyed by global
     # (pass, pixel) ids, so a drained sharded pool renders the identical
-    # image (verified bitwise), and the pvary-transpose psum is the only
+    # image (verified bitwise), and the pcast-transpose psum is the only
     # cross-device step.  Forward values are BIT-identical; backward sums
     # the same per-path gradients in a different association order, so the
     # f32 run carries a loose bound (near-grazing sphere hits produce
@@ -251,7 +251,7 @@ def test_balanced_pool_balances_per_shard_work():
     # leaves a straggler shard carrying ~2.5x the segments of the
     # lightest; interleaved work sharding equalizes per-shard segments by
     # construction.  Measured directly on the per-shard segment counters.
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from scheme_raytrace_tpu.integrator import pool_fused
     from scheme_raytrace_tpu.parallel.mesh import RAY_AXIS
@@ -269,14 +269,15 @@ def test_balanced_pool_balances_per_shard_work():
         def local(scene, cam):
             shard = jax.lax.axis_index(RAY_AXIS)
             if mode == "band":
-                raw0 = jax.lax.pvary(jnp.zeros((local_pix, 3), jnp.float32),
-                                     (RAY_AXIS,))
+                raw0 = jax.lax.pcast(jnp.zeros((local_pix, 3), jnp.float32),
+                                     (RAY_AXIS,), to='varying')
                 _, segs, _ = pool_fused.render_pool_fused(
                     scene, cam, cfg, raw0, 0, pix0=shard * local_pix,
                     total_pix=cfg.n_pixels, vary_axes=(RAY_AXIS,))
             else:
-                raw0 = jax.lax.pvary(
-                    jnp.zeros((cfg.n_pixels, 3), jnp.float32), (RAY_AXIS,))
+                raw0 = jax.lax.pcast(
+                    jnp.zeros((cfg.n_pixels, 3), jnp.float32), (RAY_AXIS,),
+                    to='varying')
                 _, segs, _ = pool_fused.render_pool_fused(
                     scene, cam, cfg, raw0, 0, pix0=0,
                     total_pix=cfg.n_pixels, vary_axes=(RAY_AXIS,),
