@@ -1091,6 +1091,22 @@ class _SmemPk:
         return self.ref[0, i]
 
 
+def _block_rows_for(rows: int, block_rows: int) -> int:
+    """Largest divisor of `rows` that is <= block_rows and Mosaic-legal.
+
+    A block's second-minor dim must be a multiple of 8 or the whole array
+    (the Pallas TPU divisibility rule) — the old halving fallback could
+    degenerate to 1 when rows shared no power-of-2 factor with block_rows
+    (e.g. rows=256 with block_rows=96 -> 1), which crashes lowering.
+    """
+    br = min(block_rows, rows)
+    while br > 1 and (rows % br or br % 8):
+        br -= 1
+    if rows % br or (br % 8 and br != rows):
+        br = rows
+    return br
+
+
 def as_pallas(plan: BouncePlan, m: int, block_rows: int = 256,
               interpret: bool = False):
     """Wrap `step` as a Pallas TPU kernel over an m-lane pool.
@@ -1106,9 +1122,7 @@ def as_pallas(plan: BouncePlan, m: int, block_rows: int = 256,
 
     assert m % 128 == 0, m
     rows = m // 128
-    br = min(block_rows, rows)
-    while rows % br:
-        br //= 2
+    br = _block_rows_for(rows, block_rows)
     grid = (rows // br,)
     P = plan.size
 
@@ -1191,9 +1205,7 @@ def as_pallas_bwd(plan: BouncePlan, m: int, block_rows: int = 64,
 
     assert m % 128 == 0, m
     rows = m // 128
-    br = min(block_rows, rows)
-    while rows % br:
-        br //= 2
+    br = _block_rows_for(rows, block_rows)
     grid = (rows // br,)
     P = plan.size
 
@@ -1280,12 +1292,18 @@ def as_pallas_bwd(plan: BouncePlan, m: int, block_rows: int = 64,
     return bwdfn
 
 
-def as_pallas_vjp(plan: BouncePlan, m: int, block_rows: int = 96,
+VJP_BLOCK_ROWS = 32    # shared by as_pallas_vjp and its compile gate
+# 32: round-5 v5e re-sweep on the bench fwd+bwd workload after K=4 pixel
+# grouping (m=32k: 32->59.5M / 48->58.0M / 64->58.1M / 96-effective-64 ->
+# 55.2M / 128->unstable / 192->59.2M / 256->54.4M rays/s); the round-4
+# value 96 predates grouping and the _block_rows_for divisor fix.
+
+
+def as_pallas_vjp(plan: BouncePlan, m: int, block_rows: int = VJP_BLOCK_ROWS,
                   interpret: bool = False):
-    # block_rows=96: v5e sweep on the bench fwd+bwd workload (m=24k):
-    # 256->44.9M / 96->51.3M / 64->49.9M / 32->50.4M rays/s — the
-    # backward's ~3x live-range pressure wants smaller tiles than the
-    # forward's 256 (docs/PERF_NOTES.md)
+    # block_rows: see VJP_BLOCK_ROWS — the backward's ~3x live-range
+    # pressure wants smaller tiles than the forward's 256
+    # (docs/PERF_NOTES.md)
     """`step` with a jax.custom_vjp: Pallas forward AND Pallas backward.
 
     This is the reverse-mode fast path the BASELINE's "fwd and fwd+bwd"
@@ -1346,12 +1364,15 @@ def mosaic_compiles_vjp(plan: BouncePlan, m: int, dtype_name: str) -> bool:
     sd = lambda d: jax.ShapeDtypeStruct((m,), d)
     v3 = lambda: (sd(dt), sd(dt), sd(dt))
     try:
-        stepfn = as_pallas(plan, m)
+        # compile the EXACT kernels the vjp path builds (same block_rows —
+        # a gate at different block geometry once passed kernels whose
+        # runtime twins failed to lower, m=32k/64k with block_rows=96)
+        stepfn = as_pallas(plan, m, VJP_BLOCK_ROWS)
         jax.jit(stepfn, static_argnums=(0,)).lower(
             plan, jax.ShapeDtypeStruct((plan.size,), dt),
             sd(jnp.int32), sd(dt), sd(dt), sd(bool), sd(bool),
             sd(jnp.int32), v3(), v3(), sd(dt), v3(), v3()).compile()
-        bwdfn = as_pallas_bwd(plan, m)
+        bwdfn = as_pallas_bwd(plan, m, VJP_BLOCK_ROWS)
         jax.jit(bwdfn).lower(
             jax.ShapeDtypeStruct((plan.size,), dt),
             sd(jnp.int32), sd(dt), sd(dt), sd(bool), sd(bool),

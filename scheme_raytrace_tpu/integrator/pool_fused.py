@@ -6,26 +6,34 @@ Same estimator and RNG streams as integrator/pool.py, but:
     (or F) pads to the 128-lane tile and taxes every op ~40x (measured);
   * the bounce itself is one fused step — on TPU a Pallas megakernel
     (bounce.as_pallas), elsewhere the same code traced as plain jnp;
-  * the WORK UNIT IS A PIXEL, not a path: a lane renders all config.spp
-    jittered paths of its pixel back-to-back, summing them in-lane in
-    pass order, and stages ONE accumulated value per finished pixel.
-    Round-4 profiling showed the framebuffer flush scatter dominating the
-    whole forward render (84% of wall time at 512^2 — its cost scales
-    with staged SLOTS, not real updates, which is why sweeping the flush
-    cadence F never moved it).  Pixel work units make completions on a
-    lane at least spp iterations apart, so the staging buffer needs only
-    S = (F-1)//spp + 1 rows instead of F — an spp-fold scatter-slot
-    reduction — while keeping the ESTIMATOR BIT-IDENTICAL for fresh
-    renders: each pixel's passes are summed in pass order starting from
-    0.0 either way, and the RNG is keyed by the global (pass, pixel) id.
-  * the flush is BATCHED: staged pixels go to [S, M] sequence buffers via
-    a dense one-hot write, and the scatter-add runs once every F bounce
-    iterations into [3, n_pix] framebuffer planes (densely tiled;
-    transposed back once per render).
+  * the WORK UNIT IS A GROUP OF K ADJACENT PIXELS (K=1 when the frame
+    does not divide): a lane renders all config.spp jittered paths of
+    pixel k*K+0, then k*K+1, ..., summing each pixel's passes in-lane in
+    pass order into its own accumulator row, and stages the K finished
+    sums under ONE framebuffer index when the group completes.  Round-4
+    profiling showed the framebuffer flush scatter dominating the whole
+    forward render (84% of wall time at 512^2 — its cost scales with
+    staged index SLOTS, not real updates, which is why sweeping the
+    flush cadence F never moved it: the staging-row count S grows as F
+    does, keeping slots = M*iters/spp invariant).  Pixel work units cut
+    the slots spp-fold (completions on a lane are >= spp iterations
+    apart); grouping cuts them a further K-fold — slots =
+    M*iters/(K*spp) — because S staging rows of K pixel-sums share one
+    index, scattered into a [3K, n_pix/K] framebuffer view (row c*K+s =
+    component c of group sub-pixel s).  The ESTIMATOR IS BIT-IDENTICAL
+    for any K: each pixel's passes are summed in pass order starting
+    from 0.0 either way, each pixel contributes exactly ONE scatter-add
+    per render call (dummy slots add 0.0, a bitwise no-op), and the RNG
+    is keyed by the global (pass, pixel) id.
+  * the flush is BATCHED: staged groups go to [S, K, M] sequence buffers
+    via a dense one-hot write, and the scatter-add runs once every F
+    bounce iterations into the [3K, n_pix/K] framebuffer planes (densely
+    tiled; transposed back once per render).
 
-Within any F-iteration window a lane finishes at most S pixels (each
-pixel needs >= spp iterations — one per path at minimum), so the S
-staging rows can never overflow.
+Within any F-iteration window a lane finishes at most
+S = (F-1)//(K*spp) + 1 groups (each pixel needs >= spp iterations — one
+per path at minimum — so a group needs >= K*spp), so the S staging rows
+can never overflow.
 """
 
 from __future__ import annotations
@@ -37,7 +45,9 @@ import jax.numpy as jnp
 
 from . import bounce
 
-FLUSH_EVERY = 8     # F: bounce iterations per framebuffer scatter
+FLUSH_EVERY = 8     # F floor: bounce iterations per framebuffer scatter
+GROUP_MAX = 4       # K cap: pixels per work item (scatter-slot divisor)
+FLUSH_MAX = 64      # F cap: bounds the drain-check/overshoot granularity
 
 # Which step implementation the most recent render_pool_fused trace picked,
 # keyed by direction: {"forward": "pallas"|"jnp", "reverse":
@@ -53,19 +63,19 @@ class FusedState(NamedTuple):
     time: jnp.ndarray
     rx: jnp.ndarray; ry: jnp.ndarray; rz: jnp.ndarray     # path radiance
     tx: jnp.ndarray; ty: jnp.ndarray; tz: jnp.ndarray     # throughput
-    ax: jnp.ndarray; ay: jnp.ndarray; az: jnp.ndarray     # pixel pass sum
-    item: jnp.ndarray     # [M] i32 local work item (a PIXEL)
-    pass_idx: jnp.ndarray  # [M] i32 current pass within the pixel
+    ax: jnp.ndarray; ay: jnp.ndarray; az: jnp.ndarray     # [K, M] pixel sums
+    item: jnp.ndarray     # [M] i32 local work item (a GROUP of K pixels)
+    pass_idx: jnp.ndarray  # [M] i32 current pass within the group [0, K*spp)
     px: jnp.ndarray       # [M] f32 pixel x (precomputed for the kernel)
     py: jnp.ndarray       # [M] f32 pixel y
     fresh: jnp.ndarray    # [M] bool — regenerate this lane's camera ray
     depth: jnp.ndarray    # [M] i32 bounces completed on current path
     alive: jnp.ndarray    # [M] bool
     next_w: jnp.ndarray   # scalar i32
-    seq_x: jnp.ndarray; seq_y: jnp.ndarray; seq_z: jnp.ndarray  # [S, M]
+    seq_x: jnp.ndarray; seq_y: jnp.ndarray; seq_z: jnp.ndarray  # [S, K, M]
     seq_pix: jnp.ndarray  # [S, M] i32 (0-init: flushes add 0.0 — harmless)
-    seq_k: jnp.ndarray    # [M] i32 staged count since last flush
-    raw3: jnp.ndarray     # [3, n_pix] framebuffer planes
+    seq_k: jnp.ndarray    # [M] i32 staged group count since last flush
+    rawK: jnp.ndarray     # [3K, n_pix/K] framebuffer planes
     segments: jnp.ndarray
     iters: jnp.ndarray
 
@@ -102,14 +112,25 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
     total_pix = config.n_pixels if total_pix is None else total_pix
     spp = config.spp
     assert n_pix % item_stride == 0, (n_pix, item_stride)
-    n_work = n_pix // item_stride              # LOCAL work items (pixels)
+    n_local = n_pix // item_stride             # LOCAL pixels
+    # K pixels per work item (module doc): K>1 requires contiguous local
+    # pixels (stride 1) and a dividing frame; otherwise fall back to 1.
+    K = 1
+    if item_stride == 1:
+        for k in (GROUP_MAX, 2):
+            if n_local % k == 0:
+                K = k
+                break
+    n_work = n_local // K                      # LOCAL work items (groups)
     # Both bounds 128-aligned: a user-set --pool-rays that is not a multiple
     # of 128 must not leak through (bounce.as_pallas asserts m % 128 == 0).
     pool_cap = max(128, config.pool_rays // 128 * 128)
     m = max(128, min(pool_cap, ((n_work + 127) // 128) * 128))
     dtype = raw0.dtype
-    F = FLUSH_EVERY
-    S = (F - 1) // spp + 1                     # staging rows (see module doc)
+    # F >= K*spp keeps S=1 (one index slot per lane per window); the cap
+    # bounds while_loop drain-check granularity and all-dead overshoot.
+    F = max(FLUSH_EVERY, min(K * spp, FLUSH_MAX))
+    S = (F - 1) // (K * spp) + 1               # staging rows (see module doc)
 
     plan = bounce.make_plan(scene, config)
     pk = bounce.pack(scene, cam, plan, dtype)
@@ -140,25 +161,29 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
         step = bounce.as_pallas(plan, m) if use_pallas else bounce.step
         LAST_STEP_IMPL["forward"] = "pallas" if use_pallas else "jnp"
 
+    G = n_pix // K                             # framebuffer pixel groups
     item0 = jnp.arange(m, dtype=jnp.int32)
-    pixl0 = _pixel_of(item0, n_pix, item_stride, item_offset)
+    pixl0 = _pixel_of(item0 * K, n_pix, item_stride, item_offset)
     ys0, xs0 = jnp.divmod(pix0 + pixl0, config.nx)
     z = jnp.zeros(m, dtype)
     zi = jnp.zeros(m, jnp.int32)
+    # [3, n_pix] -> [3K, G]: row c*K+s = component c of group sub-pixel s
+    rawK0 = raw0.T.reshape(3, G, K).transpose(0, 2, 1).reshape(3 * K, G)
     state = FusedState(
         ox=z, oy=z, oz=z, dx=z, dy=z, dz=jnp.ones(m, dtype), time=z,
         rx=z, ry=z, rz=z, tx=z, ty=z, tz=z,
-        ax=z, ay=z, az=z,
+        ax=jnp.zeros((K, m), dtype), ay=jnp.zeros((K, m), dtype),
+        az=jnp.zeros((K, m), dtype),
         item=item0, pass_idx=zi,
         px=xs0.astype(dtype), py=ys0.astype(dtype),
         fresh=item0 < n_work,
         depth=zi, alive=item0 < n_work,
         next_w=jnp.asarray(m, jnp.int32),
-        seq_x=jnp.zeros((S, m), dtype), seq_y=jnp.zeros((S, m), dtype),
-        seq_z=jnp.zeros((S, m), dtype),
+        seq_x=jnp.zeros((S, K, m), dtype), seq_y=jnp.zeros((S, K, m), dtype),
+        seq_z=jnp.zeros((S, K, m), dtype),
         seq_pix=jnp.zeros((S, m), jnp.int32),
         seq_k=zi,
-        raw3=raw0.T,
+        rawK=rawK0,
         segments=jnp.zeros((), jnp.int32),
         iters=jnp.zeros((), jnp.int32),
     )
@@ -170,53 +195,62 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
         state = jax.tree.map(_vary, state)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (S, m), 0)
+    rowK = jax.lax.broadcasted_iota(jnp.int32, (K, m), 0)
+    KS = K * spp
 
     def bounce_iter(_, st: FusedState) -> FusedState:
         # RNG key: the global (pass, pixel) work item — identical stream
-        # to the per-path pools, shard- and band-invariant
-        pixl = _pixel_of(st.item, n_pix, item_stride, item_offset)
-        gitem = (sample_base + st.pass_idx) * total_pix + (pix0 + pixl)
+        # to the per-path pools, shard-, band- and K-invariant
+        sub = st.pass_idx // spp               # sub-pixel within the group
+        pas = st.pass_idx - sub * spp          # pass within the sub-pixel
+        pixl = _pixel_of(st.item * K + sub, n_pix, item_stride, item_offset)
+        gitem = (sample_base + pas) * total_pix + (pix0 + pixl)
         o, d, time, rad, tp, scattering = step(
             plan, pk, gitem, st.px, st.py, st.fresh, st.alive, st.depth,
             (st.ox, st.oy, st.oz), (st.dx, st.dy, st.dz), st.time,
             (st.rx, st.ry, st.rz), (st.tx, st.ty, st.tz))
 
-        # --- fold the finished path into the lane's pixel sum --------------
+        # --- fold the finished path into its pixel's accumulator row -------
         path_done = st.alive & ~scattering
-        ax = st.ax + jnp.where(path_done, rad[0], 0.0)
-        ay = st.ay + jnp.where(path_done, rad[1], 0.0)
-        az = st.az + jnp.where(path_done, rad[2], 0.0)
-        more = path_done & (st.pass_idx < spp - 1)     # next pass, same pixel
-        pixel_done = path_done & (st.pass_idx >= spp - 1)
+        fold = (rowK == sub[None, :]) & path_done[None, :]
+        ax = st.ax + jnp.where(fold, rad[0][None, :], 0.0)
+        ay = st.ay + jnp.where(fold, rad[1][None, :], 0.0)
+        az = st.az + jnp.where(fold, rad[2][None, :], 0.0)
+        group_done = path_done & (st.pass_idx >= KS - 1)
+        more = path_done & ~group_done        # next pass or next sub-pixel
 
-        # --- stage finished pixels in the sequence buffer -------------------
-        onehot = (col == st.seq_k[None, :]) & pixel_done[None, :]
-        seq_x = st.seq_x + jnp.where(onehot, ax[None, :], 0.0)
-        seq_y = st.seq_y + jnp.where(onehot, ay[None, :], 0.0)
-        seq_z = st.seq_z + jnp.where(onehot, az[None, :], 0.0)
-        seq_pix = jnp.where(onehot, pixl[None, :], st.seq_pix)
-        seq_k = st.seq_k + pixel_done.astype(jnp.int32)
+        # --- stage finished groups in the sequence buffer -------------------
+        onehot = (col == st.seq_k[None, :]) & group_done[None, :]   # [S, M]
+        seq_x = jnp.where(onehot[:, None, :], ax[None, :, :], st.seq_x)
+        seq_y = jnp.where(onehot[:, None, :], ay[None, :, :], st.seq_y)
+        seq_z = jnp.where(onehot[:, None, :], az[None, :, :], st.seq_z)
+        gidx = _pixel_of(st.item * K, n_pix, item_stride, item_offset) // K
+        seq_pix = jnp.where(onehot, gidx[None, :], st.seq_pix)
+        seq_k = st.seq_k + group_done.astype(jnp.int32)
+        # accumulators of staged groups restart at zero
+        ax = jnp.where(group_done[None, :], 0.0, ax)
+        ay = jnp.where(group_done[None, :], 0.0, ay)
+        az = jnp.where(group_done[None, :], 0.0, az)
 
-        # --- re-issue freed lanes the next pixels ---------------------------
-        pd = pixel_done.astype(jnp.int32)
-        new_local = st.next_w + jnp.cumsum(pd) - pd     # exclusive rank
-        has_work = pixel_done & (new_local < n_work)
+        # --- re-issue freed lanes the next groups ---------------------------
+        gd = group_done.astype(jnp.int32)
+        new_local = st.next_w + jnp.cumsum(gd) - gd     # exclusive rank
+        has_work = group_done & (new_local < n_work)
         item = jnp.where(has_work, new_local, st.item)
-        pixl_new = _pixel_of(item, n_pix, item_stride, item_offset)
-        ys, xs = jnp.divmod(pix0 + pixl_new, config.nx)
-        px = jnp.where(has_work, xs.astype(dtype), st.px)
-        py = jnp.where(has_work, ys.astype(dtype), st.py)
         pass_idx = jnp.where(more, st.pass_idx + 1,
                              jnp.where(has_work, 0, st.pass_idx))
-        ax = jnp.where(has_work, 0.0, ax)               # staged above
-        ay = jnp.where(has_work, 0.0, ay)
-        az = jnp.where(has_work, 0.0, az)
         fresh = more | has_work
+        # pixel coordinates for the lane's next path (sub-pixel may change)
+        sub2 = pass_idx // spp
+        pixl2 = _pixel_of(item * K + sub2, n_pix, item_stride, item_offset)
+        ys, xs = jnp.divmod(pix0 + pixl2, config.nx)
+        px = jnp.where(fresh, xs.astype(dtype), st.px)
+        py = jnp.where(fresh, ys.astype(dtype), st.py)
         depth = jnp.where(scattering, st.depth + 1,
                           jnp.where(fresh, 0, st.depth))
         alive = scattering | fresh
         # dtype-pinned sums: under x64 (f64 oracle) jnp.sum(int32) promotes
-        next_w = jnp.minimum(st.next_w + jnp.sum(pd, dtype=jnp.int32),
+        next_w = jnp.minimum(st.next_w + jnp.sum(gd, dtype=jnp.int32),
                              n_work)
         segments = st.segments + jnp.sum(st.alive, dtype=jnp.int32)
         return FusedState(
@@ -224,19 +258,22 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
             rad[0], rad[1], rad[2], tp[0], tp[1], tp[2],
             ax, ay, az, item, pass_idx, px, py, fresh, depth, alive,
             next_w, seq_x, seq_y, seq_z, seq_pix, seq_k,
-            st.raw3, segments, st.iters + 1)
+            st.rawK, segments, st.iters + 1)
 
     def body_flush(st: FusedState) -> FusedState:
-        # --- flush staged pixels: ONE scatter per F iterations --------------
+        # --- flush staged groups: ONE scatter per F iterations --------------
         # (A unique-indices variant — empty slots redirected to a dump pad
         # past n_pix — measured SLOWER, 100M vs 160M rays/s: the padded
         # operand loses more than the sort-free combiner saves.)
-        idx = st.seq_pix.reshape(-1)
-        vals = jnp.stack([st.seq_x.reshape(-1), st.seq_y.reshape(-1),
-                          st.seq_z.reshape(-1)], axis=0)      # [3, S*M] dense
-        raw3 = st.raw3.at[:, idx].add(vals)
+        idx = st.seq_pix.reshape(-1)                            # [S*M]
+        vals = jnp.concatenate(
+            [st.seq_x.transpose(1, 0, 2).reshape(K, S * m),
+             st.seq_y.transpose(1, 0, 2).reshape(K, S * m),
+             st.seq_z.transpose(1, 0, 2).reshape(K, S * m)],
+            axis=0)                                             # [3K, S*M]
+        rawK = st.rawK.at[:, idx].add(vals)
         return st._replace(
-            raw3=raw3,
+            rawK=rawK,
             seq_x=jnp.zeros_like(st.seq_x), seq_y=jnp.zeros_like(st.seq_y),
             seq_z=jnp.zeros_like(st.seq_z),
             seq_pix=jnp.zeros_like(st.seq_pix),
@@ -246,9 +283,13 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
         st = jax.lax.fori_loop(0, F, bounce_iter, st)
         return body_flush(st)
 
+    def unK(rawK):
+        # [3K, G] -> [n_pix, 3] (inverse of the rawK0 packing above)
+        return rawK.reshape(3, K, G).transpose(0, 2, 1).reshape(3, n_pix).T
+
     if static_iters is None:
         state = jax.lax.while_loop(lambda s: jnp.any(s.alive), body, state)
-        return state.raw3.T, state.segments, state.iters
+        return unK(state.rawK), state.segments, state.iters
 
     # --- fixed-length scan (reverse-mode path) -----------------------------
     # The while_loop drain is rewritten as scan-over-blocks with scan-over-F
@@ -272,4 +313,4 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
     state, _ = jax.lax.scan(blockfn, state, None, length=n_blocks)
     leftover = (jnp.sum(state.alive, dtype=jnp.int32)
                 + (n_work - state.next_w))
-    return state.raw3.T, state.segments, leftover
+    return unK(state.rawK), state.segments, leftover

@@ -55,13 +55,16 @@ print(f"compile+warmup {time.perf_counter()-t0:.1f}s  leftover={int(leftover)}"
 assert int(leftover) == 0
 
 times = []
-for _ in range(3):
+for _ in range(5):
     params = jax.tree.map(lambda p, g: p - 1e-6 * g, params, grads)
+    # block BEFORE the timer: the tree.map's tiny-op dispatch latency
+    # through the tunnel is 10-100ms of noise otherwise (bench.py)
+    jax.block_until_ready(params)
     t0 = time.perf_counter()
     (loss, (segs, lo)), grads = step(params)
     jax.block_until_ready(grads)
     times.append(time.perf_counter() - t0)
     assert int(lo) == 0
-med = sorted(times)[1]
+med = sorted(times)[len(times) // 2]
 print(f"mode={mode} size={size} spp={spp} m={pool}: "
       f"{int(segs)/med/1e6:.2f}M rays/s (times {[f'{t:.3f}' for t in times]})")
