@@ -475,8 +475,18 @@ def _klein_dist(c, px, py, pz):
     # masks ride the carry as int32: a bool array in a fori_loop carry
     # crashes the Mosaic compiler subprocess (tools/repro_mosaic_crash.py
     # single_bool_carry — the d8a570f crash class, minimally reproduced)
-    def body(_, st):
-        px, py, pz, dr, active_i = st
+    def cond(st):
+        # EXACT early exit: an inactive point never changes again, so
+        # stopping once every lane in the block has escaped its inversion
+        # sphere skips only no-op iterations.  Measured (512^2 spp8,
+        # block_rows=64): klein 10.9 -> 28.8M rays/s (sky-dominated march
+        # points escape in 1-3 inversions); cornell_klein ~flat (confined
+        # points stay active, the any() is block-granular).
+        px, py, pz, dr, active_i, k = st
+        return (k < cfg_mod.KLEIN_ITERATIONS) & jnp.any(active_i != 0)
+
+    def body(st):
+        px, py, pz, dr, active_i, k = st
         active = active_i != 0
         found = jnp.zeros_like(active)
         for sx, sy, sz in _KLEIN_SPHERES:
@@ -489,14 +499,97 @@ def _klein_dist(c, px, py, pz):
             pz = jnp.where(sel, dz * scale + sz, pz)
             dr = jnp.where(sel, dr * scale, dr)
             found = found | sel
-        return px, py, pz, dr, (active & found).astype(jnp.int32)
+        return px, py, pz, dr, (active & found).astype(jnp.int32), k + 1
 
     dr0 = jnp.ones_like(px)
-    px, py, pz, dr, _ = jax.lax.fori_loop(
-        0, cfg_mod.KLEIN_ITERATIONS, body,
-        (px, py, pz, dr0, jnp.ones_like(px, jnp.int32)))
+    px, py, pz, dr, _, _ = jax.lax.while_loop(
+        cond, body,
+        (px, py, pz, dr0, jnp.ones_like(px, jnp.int32), jnp.int32(0)))
     ln = jnp.sqrt(px * px + py * py + pz * pz)
     return cfg_mod.KLEIN_DE_SCALE * (ln - cfg_mod.KLEIN_R) / jnp.abs(dr)
+
+
+def _klein_dist_grad(c, px, py, pz):
+    """DE + exact spatial gradient in ONE inversion loop.
+
+    Propagates the three unit tangents d(P)/d(x0), d(P)/d(y0), d(P)/d(z0)
+    analytically alongside the primal: the inversion x -> r2*x/|x|^2 + s
+    has differential dx' = scale*(dx - x*w) with w = 2*(x.dx)/|x|^2, and
+    the DE-scale derivative is ddr' = scale*(ddr - w*dr).  One such loop
+    (~4 primal-equivalents of work) replaces the round-4 kernel's
+    6-evaluation central-difference normal (geometry.scm:626-632, h=0.01)
+    PLUS the separate implicit-t jvp — the ray derivative is just g . d —
+    cutting the klein probe's post-march DE cost ~2x, and the normal is
+    exact instead of h-smoothed (deviation from the reference's CD
+    convention, applied consistently in ops/klein.get_normal and the f64
+    oracle; goldens regenerated).
+    """
+    px, py, pz = px - c[0], py - c[1], pz - c[2]
+    r2 = cfg_mod.KLEIN_SPHERE_R * cfg_mod.KLEIN_SPHERE_R
+    tiny = jnp.finfo(px.dtype).tiny
+    one, zero = jnp.ones_like(px), jnp.zeros_like(px)
+
+    def body(_, st):
+        (px, py, pz, dr, t1x, t1y, t1z, t2x, t2y, t2z, t3x, t3y, t3z,
+         dd1, dd2, dd3, active_i) = st
+        active = active_i != 0
+        found = jnp.zeros_like(active)
+        for sx, sy, sz in _KLEIN_SPHERES:
+            dx, dy, dz = px - sx, py - sy, pz - sz
+            d2 = dx * dx + dy * dy + dz * dz
+            sel = active & ~found & (d2 < r2)
+            inv_d2 = 1.0 / jnp.maximum(d2, tiny)
+            scale = r2 * inv_d2
+            for j in range(3):
+                tx, ty, tz, dd = ((t1x, t1y, t1z, dd1), (t2x, t2y, t2z, dd2),
+                                  (t3x, t3y, t3z, dd3))[j]
+                w = 2.0 * (dx * tx + dy * ty + dz * tz) * inv_d2
+                ntx = scale * (tx - dx * w)
+                nty = scale * (ty - dy * w)
+                ntz = scale * (tz - dz * w)
+                ndd = scale * (dd - w * dr)
+                if j == 0:
+                    t1x = jnp.where(sel, ntx, t1x)
+                    t1y = jnp.where(sel, nty, t1y)
+                    t1z = jnp.where(sel, ntz, t1z)
+                    dd1 = jnp.where(sel, ndd, dd1)
+                elif j == 1:
+                    t2x = jnp.where(sel, ntx, t2x)
+                    t2y = jnp.where(sel, nty, t2y)
+                    t2z = jnp.where(sel, ntz, t2z)
+                    dd2 = jnp.where(sel, ndd, dd2)
+                else:
+                    t3x = jnp.where(sel, ntx, t3x)
+                    t3y = jnp.where(sel, nty, t3y)
+                    t3z = jnp.where(sel, ntz, t3z)
+                    dd3 = jnp.where(sel, ndd, dd3)
+            px = jnp.where(sel, dx * scale + sx, px)
+            py = jnp.where(sel, dy * scale + sy, py)
+            pz = jnp.where(sel, dz * scale + sz, pz)
+            dr = jnp.where(sel, dr * scale, dr)
+            found = found | sel
+        return (px, py, pz, dr, t1x, t1y, t1z, t2x, t2y, t2z,
+                t3x, t3y, t3z, dd1, dd2, dd3,
+                (active & found).astype(jnp.int32))
+
+    st = jax.lax.fori_loop(
+        0, cfg_mod.KLEIN_ITERATIONS, body,
+        (px, py, pz, one, one, zero, zero, zero, one, zero,
+         zero, zero, one, zero, zero, zero,
+         jnp.ones_like(px, jnp.int32)))
+    (px, py, pz, dr, t1x, t1y, t1z, t2x, t2y, t2z,
+     t3x, t3y, t3z, dd1, dd2, dd3, _) = st
+    ln = jnp.sqrt(jnp.maximum(px * px + py * py + pz * pz, tiny))
+    adr = jnp.abs(dr)
+    de = cfg_mod.KLEIN_DE_SCALE * (ln - cfg_mod.KLEIN_R) / adr
+    # d(de)/d(x0_j) = K/|dr| * ((P . t_j)/|P| - (|P| - R)*ddr_j/dr)
+    k = cfg_mod.KLEIN_DE_SCALE / adr
+    rat = (ln - cfg_mod.KLEIN_R) / dr
+    g = tuple(k * ((px * tx + py * ty + pz * tz) / ln - rat * dd)
+              for tx, ty, tz, dd in ((t1x, t1y, t1z, dd1),
+                                     (t2x, t2y, t2z, dd2),
+                                     (t3x, t3y, t3z, dd3)))
+    return de, g
 
 
 def _klein_march(c, o, d, t_min, t_max):
@@ -653,9 +746,10 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
 
         The march runs under stop_gradient; the differentiable hit t is
         attached by the implicit-function correction t -= (F - eps)/F'
-        at the converged root (F(t) = DE(o + t d); one extra DE + jvp
-        instead of transposing the 100-step march), and the CD normal
-        (geometry.scm:626-632) stays fully differentiable."""
+        at the converged root (F(t) = DE(o + t d)).  ONE primal+3-tangent
+        inversion loop (_klein_dist_grad) supplies both the exact surface
+        normal AND F' = g . d — replacing the round-4 separate jvp + the
+        6-evaluation central-difference normal."""
         c = (pk[b + K_C], pk[b + K_C + 1], pk[b + K_C + 2])
         sg = jax.lax.stop_gradient
         c_s = tuple(sg(x) for x in c)
@@ -663,25 +757,14 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
         d_s = tuple(sg(x) for x in d)
         hitk, t_raw = _klein_march(c_s, o_s, d_s, t_min, big)
 
-        def f_de(t):
-            return _klein_dist(c, o[0] + t * d[0], o[1] + t * d[1],
-                               o[2] + t * d[2])
-
-        dist, ddt = jax.jvp(f_de, (t_raw,), (jnp.ones_like(t_raw),))
+        p_raw = tuple(o[i] + t_raw * d[i] for i in range(3))
+        dist, g = _klein_dist_grad(c, *p_raw)
+        ddt = g[0] * d[0] + g[1] * d[1] + g[2] * d[2]
         denom = jnp.where(jnp.abs(ddt) > 1e-6, ddt,
                           jnp.where(ddt >= 0.0, 1e-6, -1e-6))
         corr = jnp.where(hitk, (dist - cfg_mod.KLEIN_SURF_EPS) / denom, 0.0)
         t = t_raw - (corr - sg(corr))
-
-        h = cfg_mod.KLEIN_NORMAL_H
-        p = tuple(o[i] + t * d[i] for i in range(3))
-        nx = (_klein_dist(c, p[0] + h, p[1], p[2])
-              - _klein_dist(c, p[0] - h, p[1], p[2]))
-        ny = (_klein_dist(c, p[0], p[1] + h, p[2])
-              - _klein_dist(c, p[0], p[1] - h, p[2]))
-        nz = (_klein_dist(c, p[0], p[1], p[2] + h)
-              - _klein_dist(c, p[0], p[1], p[2] - h))
-        wn = unit3((nx, ny, nz))
+        wn = unit3(g)
         ok = hitk & (pk[b + K_VALID] > 0.5)
         return merge(best, ok, t, wn, b, K_ALB0, K_ALB1, K_MTYPE, K_TEXK,
                      K_FUZZ, K_REF, K_TEXS)
@@ -1107,7 +1190,7 @@ def _block_rows_for(rows: int, block_rows: int) -> int:
     return br
 
 
-def as_pallas(plan: BouncePlan, m: int, block_rows: int = 256,
+def as_pallas(plan: BouncePlan, m: int, block_rows: int = 0,
               interpret: bool = False):
     """Wrap `step` as a Pallas TPU kernel over an m-lane pool.
 
@@ -1116,10 +1199,17 @@ def as_pallas(plan: BouncePlan, m: int, block_rows: int = 256,
     function with `step`'s exact signature (pk and lane arrays as flat [m]
     jnp arrays), so the pool glue is oblivious to which path runs.
     `interpret=True` runs the kernel in interpreter mode (CPU tests).
+
+    block_rows=0 picks per plan: 256 default; 64 for klein scenes, where
+    the march/DE while_loop early exits retire at block granularity —
+    measured 512^2 spp8 sweep (8/32/64/128/256): klein 9.8/24.6/28.8/
+    28.0/26.4M, cornell_klein 2.4/7.4/9.2/8.9/8.4M rays/s.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if not block_rows:
+        block_rows = 64 if plan.n_kleins else 256
     assert m % 128 == 0, m
     rows = m // 128
     br = _block_rows_for(rows, block_rows)

@@ -91,6 +91,28 @@ def _pixel_of(item, n_pix, stride, offset):
     return (item * stride + offset) % n_pix
 
 
+def choose_group(n_local, pool_cap, item_stride, plan) -> int:
+    """Pixels per work item (K), by the round-5 v5e measurement campaign.
+
+    K>1 divides the flush-scatter index slots K-fold but multiplies the
+    per-item latency, which costs drain-tail occupancy — so it pays only
+    when (a) the per-bounce kernel is cheap enough that the scatter is a
+    real fraction of the step (klein/bezier march loops dominate their
+    kernels; measured K=1 best: klein 10.9/10.3/7.5M and bezier
+    32.8/26.1/22.1M rays/s at K=1/2/4), and (b) lanes still get >= 2
+    work items each so the tail stays amortized (measured optima:
+    cornell fwd m=64k 183.8/208.8/163.0M at K=1/2/4 -> 2 items/lane;
+    fwd+bwd m=24k 52/57/62M -> K=4 at 2.7 items/lane; banded 1024^2
+    251/289/281M -> K=2)."""
+    if item_stride != 1 or plan.n_kleins or plan.n_beziers:
+        return 1
+    m_est = max(128, min(pool_cap, ((n_local + 127) // 128) * 128))
+    for k in (GROUP_MAX, 2):
+        if n_local % k == 0 and n_local // k >= 2 * m_est:
+            return k
+    return 1
+
+
 def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
                       total_pix=None, vary_axes=(), static_iters=None,
                       item_stride=1, item_offset=0):
@@ -113,26 +135,18 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
     spp = config.spp
     assert n_pix % item_stride == 0, (n_pix, item_stride)
     n_local = n_pix // item_stride             # LOCAL pixels
-    # K pixels per work item (module doc): K>1 requires contiguous local
-    # pixels (stride 1) and a dividing frame; otherwise fall back to 1.
-    K = 1
-    if item_stride == 1:
-        for k in (GROUP_MAX, 2):
-            if n_local % k == 0:
-                K = k
-                break
-    n_work = n_local // K                      # LOCAL work items (groups)
+    plan = bounce.make_plan(scene, config)
     # Both bounds 128-aligned: a user-set --pool-rays that is not a multiple
     # of 128 must not leak through (bounce.as_pallas asserts m % 128 == 0).
     pool_cap = max(128, config.pool_rays // 128 * 128)
+    K = choose_group(n_local, pool_cap, item_stride, plan)
+    n_work = n_local // K                      # LOCAL work items (groups)
     m = max(128, min(pool_cap, ((n_work + 127) // 128) * 128))
     dtype = raw0.dtype
     # F >= K*spp keeps S=1 (one index slot per lane per window); the cap
     # bounds while_loop drain-check granularity and all-dead overshoot.
     F = max(FLUSH_EVERY, min(K * spp, FLUSH_MAX))
     S = (F - 1) // (K * spp) + 1               # staging rows (see module doc)
-
-    plan = bounce.make_plan(scene, config)
     pk = bounce.pack(scene, cam, plan, dtype)
     # Auto mode gates on a real Mosaic compile (bounce.mosaic_lowers) so an
     # unsupported primitive degrades to the jnp step instead of crashing the

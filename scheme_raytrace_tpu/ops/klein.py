@@ -54,12 +54,18 @@ def dist_func(center, pos):
 
 
 def get_normal(center, p):
-    """Central differences, h=0.01 (geometry.scm:626-632)."""
-    h = cfg.KLEIN_NORMAL_H
-    comps = []
-    for ax in range(3):
-        e = jnp.zeros(3, p.dtype).at[ax].set(h)
-        comps.append(dist_func(center, p + e) - dist_func(center, p - e))
+    """Exact DE gradient (3 forward tangents through dist_func).
+
+    The reference uses central differences with h=0.01
+    (geometry.scm:626-632); this framework uses the exact gradient in
+    BOTH render paths (here and the fused kernel's hand-derived
+    _klein_dist_grad) so they stay equivalent — a documented deviation
+    like the B-ledger bug fixes, applied to the f64 oracle as well
+    (parity goldens rendered with it)."""
+    comps = [jax.jvp(lambda q: dist_func(center, q), (p,),
+                     (jnp.broadcast_to(jnp.eye(3, dtype=p.dtype)[ax],
+                                       p.shape),))[1]
+             for ax in range(3)]
     return vm.unit(jnp.stack(comps, axis=-1))
 
 

@@ -112,17 +112,24 @@ def test_strided_scan_mode_matches_forward():
 
 @pytest.mark.parametrize("scene_name", [
     "cornell_smoke", "test_bezier",
+    pytest.param("cornell_klein", marks=pytest.mark.slow),
     pytest.param("klein_scene", marks=pytest.mark.slow)])
 def test_gradients_finite_through_exotic_groups(scene_name):
     # media / bezier / klein now run inside the fused step (round 4); the
     # reverse-mode pool must produce finite gradients with real signal on
     # the scene leaves each group touches (medium density is not a leaf;
     # albedo always is; bezier cp via the implicit root; klein t/normal via
-    # the implicit-function correction + CD normal)
+    # the implicit-function correction + the exact-gradient normal).
+    # cornell_klein carries the kl_center signal check: klein_scene's klein
+    # is INVISIBLE from the reference *camera* (lookfrom (0,5,5) is inside
+    # the |p|<125 DE<0 solid, so every march runs backward and never
+    # accepts — faithful to geometry.scm:602-661 + main.scm:141-153), so
+    # its zero center-gradient is CORRECT, not a dead path.
     spec = getattr(scenes, scene_name)()
     scene = compile_scene(spec.objects, sky=spec.sky)
     cam = spec.camera(aspect=1.0)
-    cfg = RenderConfig(nx=8, ny=8, spp=1, max_depth=4, pool_rays=128)
+    cfg = RenderConfig(nx=8, ny=8, spp=1, max_depth=4, pool_rays=128,
+                       light_sampling=scene.n_lights > 0)
     assert diff_fused.supported(scene, cfg)
     n_iters = diff_fused.calibrate_iters(scene, cam, cfg)
     params, rest = sb.partition(scene)
@@ -140,6 +147,8 @@ def test_gradients_finite_through_exotic_groups(scene_name):
     assert np.abs(np.asarray(g["tex_color"])).max() > 0
     if scene_name == "test_bezier":
         assert np.abs(np.asarray(g["bez_cp"])).max() > 0
+    if scene_name == "cornell_klein":
+        assert np.abs(np.asarray(g["kl_center"])).max() > 0
 
 
 def test_strict_render_poisons_on_underdrain():

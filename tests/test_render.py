@@ -176,3 +176,38 @@ def test_material_sorted_shading_bit_identical():
     assert seg_ref == seg_srt
     np.testing.assert_array_equal(ref, srt)
     assert ref.max() > 0
+
+
+def test_pixel_group_pool_bit_identical_and_routed():
+    # K>1 pixel-group work items (pool_fused module doc): per-pixel pass
+    # order, RNG keys, and the one-scatter-add-per-pixel contract are all
+    # K-invariant, so the K=4 pool must render BIT-identically to K=1.
+    # Also pins the routing heuristic (choose_group): K>1 only with >= 2
+    # items/lane, stride 1, and no march-heavy prims (klein/bezier).
+    from scheme_raytrace_tpu.integrator import bounce, pool_fused
+
+    spec = scenes.cornell_box()
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    cam = spec.camera(aspect=1.0)
+    cfg = RenderConfig(nx=32, ny=32, spp=2, max_depth=6, light_sampling=True,
+                       pool_rays=128)
+    plan = bounce.make_plan(scene, cfg)
+    assert pool_fused.choose_group(1024, 128, 1, plan) == 4
+    assert pool_fused.choose_group(1024, 512, 1, plan) == 1   # <2 items/lane
+    assert pool_fused.choose_group(1024, 128, 8, plan) == 1   # strided
+    kplan = bounce.make_plan(
+        compile_scene(scenes.klein_scene().objects, sky="gradient"), cfg)
+    assert pool_fused.choose_group(1024, 128, 1, kplan) == 1  # march-heavy
+
+    raw0 = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+    rawK, segK, _ = pool_fused.render_pool_fused(scene, cam, cfg, raw0, 0)
+    orig = pool_fused.GROUP_MAX
+    try:
+        pool_fused.GROUP_MAX = 1                 # force the K=1 pool
+        raw1, seg1, _ = pool_fused.render_pool_fused(scene, cam, cfg,
+                                                     raw0, 0)
+    finally:
+        pool_fused.GROUP_MAX = orig
+    assert np.asarray(rawK).max() > 0
+    assert int(segK) == int(seg1)
+    np.testing.assert_array_equal(np.asarray(rawK), np.asarray(raw1))
