@@ -169,7 +169,32 @@ class BouncePlan:
     n_beziers: int = 0
     bez_seeds: int = 32
     bez_newton: int = 8
+    # image textures: static (ih, iw) per atlas image — the kernel texel
+    # lookup is a static loop over 128-texel chunk rows (see step)
+    img_dims: tuple = ()
     size: int = 0
+
+    @property
+    def has_image(self) -> bool:
+        return bool(self.img_dims)
+
+    @property
+    def img_chunks(self):
+        """Per-image chunk count (128-texel rows per channel)."""
+        return tuple(-(-(ih * iw) // 128) for ih, iw in self.img_dims)
+
+    @property
+    def img_bases(self):
+        """First atlas row of each image (3 channel planes per image)."""
+        bases, acc = [], 0
+        for nck in self.img_chunks:
+            bases.append(acc)
+            acc += 3 * nck
+        return tuple(bases)
+
+    @property
+    def img_rows(self) -> int:
+        return 3 * sum(self.img_chunks)
 
     def __post_init__(self):
         object.__setattr__(
@@ -240,12 +265,28 @@ def pallas_ok(plan: "BouncePlan") -> bool:
             and plan.n_beziers <= 8)
 
 
+# Image-texture atlas cap for the fused path: total 128-texel chunk rows
+# across all images and channels.  The kernel texel lookup is a static
+# row loop (one lane-gather + 3 selects per row per bounce), so rows are
+# direct per-bounce cost; 48 rows = e.g. one 32x64 RGB image.  Bigger
+# atlases route to the general pool's XLA gather.
+IMG_ROWS_MAX = 48
+
+
 def supported(scene, config) -> bool:
     """True when the fused SoA bounce covers this (scene, config)."""
     n_prims = ((int(scene.rect_k.shape[0]) if scene.has_rects else 0)
                + (int(scene.sph_r.shape[0]) if scene.has_spheres else 0))
-    return not (scene.has_image_tex
-                or config.russian_roulette or config.traversal == "bvh"
+    if scene.has_image_tex:
+        # fused image textures: sphere/rect materials only (the packed
+        # alb0 slots carry (iw, ih, base) for image-textured prims; media
+        # phase colors and the klein/bezier u=v=0 convention keep those
+        # groups on the general pool), small-atlas cap per IMG_ROWS_MAX
+        rows = 3 * sum(-(-(ih * iw) // 128) for ih, iw in scene.img_dims)
+        if (not set(scene.img_groups) <= {"sphere", "rect"}
+                or rows > IMG_ROWS_MAX):
+            return False
+    return not (config.russian_roulette or config.traversal == "bvh"
                 or config.material_sort     # EP experiment: general pool only
                 or n_prims > MAX_FUSED_PRIMS)
 
@@ -263,28 +304,59 @@ def make_plan(scene, config) -> BouncePlan:
         n_media=int(scene.med_kind.shape[0]) if scene.has_media else 0,
         n_kleins=int(scene.kl_center.shape[0]) if scene.has_klein else 0,
         n_beziers=int(scene.bez_w.shape[0]) if scene.has_beziers else 0,
-        bez_seeds=config.bezier_seeds, bez_newton=config.bezier_newton)
+        bez_seeds=config.bezier_seeds, bez_newton=config.bezier_newton,
+        img_dims=scene.img_dims if scene.has_image_tex else ())
 
 
-def _mat_fields(scene, mid):
+def _mat_fields(scene, mid, img_bases=None):
     """(mtype, alb0, alb1, texk, texs) resolved through the tex table.
 
     texk carries scene.build's TEX_* id as a float (the kernel has no int
     lanes in the merge); alb0/alb1 are the constant / checker-children
-    colors (zeros for procedural textures — the kernel computes those)."""
+    colors (zeros for procedural textures — the kernel computes those).
+    For IMAGE textures the alb0 triple is repurposed as (iw, ih,
+    first_atlas_row) — the kernel's texel lookup metadata (the color slots
+    are dead for image prims; the texel substitutes for alb in step)."""
     tex = scene.mat_tex[mid]
     ttype = scene.tex_type[tex]
     ischeck = (ttype == sb.TEX_CHECKER)
     alb0 = jnp.where(ischeck[:, None],
                      scene.tex_color[scene.tex_child0[tex]],
                      scene.tex_color[tex])
+    if img_bases is not None:
+        isimg = (ttype == sb.TEX_IMAGE)
+        meta = jnp.stack(
+            [scene.tex_iw[tex].astype(alb0.dtype),
+             scene.tex_ih[tex].astype(alb0.dtype),
+             jnp.asarray(img_bases, alb0.dtype)[scene.tex_image[tex]]],
+            axis=1)
+        alb0 = jnp.where(isimg[:, None], meta, alb0)
     alb1 = scene.tex_color[scene.tex_child1[tex]]
     return (scene.mat_type[mid].astype(alb0.dtype), alb0, alb1,
             ttype.astype(alb0.dtype), scene.tex_scale[tex])
 
 
 def pack(scene, cam, plan: BouncePlan, dtype):
-    """Build the flat f32 scene/"constant buffer" vector (traced, cheap)."""
+    """Build the flat f32 scene/"constant buffer" vector (traced, cheap).
+
+    With image textures (plan.has_image) returns (pk, imgtex) where
+    imgtex is the [plan.img_rows, 128] texel atlas: each image's channel
+    planes flattened row-major and chunked into 128-texel rows (image k's
+    rows at plan.img_bases[k], channel c at +c*img_chunks[k]).  The pool
+    glue passes the pair through opaquely; step/as_pallas unpack it."""
+    imgtex = None
+    if plan.has_image:
+        rows = []
+        for k, (ih, iw) in enumerate(plan.img_dims):
+            nck = plan.img_chunks[k]
+            for c in range(3):
+                texels = scene.images[k, :ih, :iw, c].reshape(-1)
+                texels = jnp.concatenate(
+                    [texels, jnp.zeros(nck * 128 - ih * iw, texels.dtype)])
+                rows.append(texels.reshape(nck, 128))
+        imgtex = jnp.concatenate(rows, axis=0).astype(dtype)
+    img_bases = plan.img_bases if plan.has_image else None
+
     pieces = []
     f = lambda x: jnp.asarray(x, dtype).ravel()
     pieces += [f(scene.sky_a), f(scene.sky_b)]
@@ -312,7 +384,7 @@ def pack(scene, cam, plan: BouncePlan, dtype):
         flip = scene.rect_flip.astype(dtype)
         wn = n_w * flip[:, None]
         kk = (scene.rect_k + tn) * flip            # so t = (K - o.wn)/(d.wn)
-        mtype, alb0, alb1, texk, texs = _mat_fields(scene, scene.rect_mat)
+        mtype, alb0, alb1, texk, texs = _mat_fields(scene, scene.rect_mat, img_bases)
         block = jnp.concatenate([
             wn, kk[:, None],
             a_w, (scene.rect_a0 + ta)[:, None], (scene.rect_a1 + ta)[:, None],
@@ -327,7 +399,7 @@ def pack(scene, cam, plan: BouncePlan, dtype):
         pieces.append(block.ravel())
 
     if plan.n_spheres:
-        mtype, alb0, alb1, texk, texs = _mat_fields(scene, scene.sph_mat)
+        mtype, alb0, alb1, texk, texs = _mat_fields(scene, scene.sph_mat, img_bases)
         block = jnp.concatenate([
             scene.sph_c0, scene.sph_c1, scene.sph_t0[:, None],
             scene.sph_t1[:, None], scene.sph_r[:, None],
@@ -406,7 +478,7 @@ def pack(scene, cam, plan: BouncePlan, dtype):
 
     pk = jnp.concatenate(pieces)
     assert pk.shape[0] == plan.size, (pk.shape, plan.size)
-    return pk
+    return (pk, imgtex) if plan.has_image else pk
 
 
 # ---------------------------------------------------------------------------
@@ -439,10 +511,15 @@ def _camera_ray(plan, pk, u, px, py):
 
 
 def _merge_rec(pk, best, ok, t, wn, base, a0_off, a1_off, m_off, tk_off,
-               fz_off, rf_off, ts_off):
-    """Fold one primitive's candidate hit into the running best record."""
+               fz_off, rf_off, ts_off, uv=None):
+    """Fold one primitive's candidate hit into the running best record.
+
+    `uv` (surface coordinates, carried only when the plan has image
+    textures — the "u"/"v" keys exist in `best` then): probes without a
+    UV convention (media, klein, bezier — B11's u=v=0) pass None and
+    merge zeros, matching the general pool's ops paths."""
     closer = ok & (t < best["t"])
-    return {
+    out = {
         "hit": best["hit"] | closer,
         "t": jnp.where(closer, t, best["t"]),
         "wn": where3(closer, wn, best["wn"]),
@@ -456,6 +533,12 @@ def _merge_rec(pk, best, ok, t, wn, base, a0_off, a1_off, m_off, tk_off,
         "fuzz": jnp.where(closer, pk[base + fz_off], best["fuzz"]),
         "ref": jnp.where(closer, pk[base + rf_off], best["ref"]),
     }
+    if "u" in best:
+        zero = jnp.zeros_like(best["u"])
+        u, v = uv if uv is not None else (zero, zero)
+        out["u"] = jnp.where(closer, u, best["u"])
+        out["v"] = jnp.where(closer, v, best["v"])
+    return out
 
 
 # Kleinian inversion-sphere positions, klein-local (geometry.scm:591-599)
@@ -658,11 +741,14 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
         "wn": (z, z, z), "mtype": z, "alb0": (z, z, z), "alb1": (z, z, z),
         "texk": z, "texs": z, "fuzz": z, "ref": z,
     }
+    if plan.has_image:
+        best["u"] = z
+        best["v"] = z
 
     def merge(best, ok, t, wn, base, a0_off, a1_off, m_off, tk_off,
-              fz_off, rf_off, ts_off):
+              fz_off, rf_off, ts_off, uv=None):
         return _merge_rec(pk, best, ok, t, wn, base, a0_off, a1_off, m_off,
-                          tk_off, fz_off, rf_off, ts_off)
+                          tk_off, fz_off, rf_off, ts_off, uv)
 
     def rect_probe(best, b):
         """b = packed base offset of one rect (static OR traced int)."""
@@ -680,8 +766,12 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
               & (pb >= pk[b + R_KB0]) & (pb <= pk[b + R_KB1]))
         wn = tuple(jnp.broadcast_to(wn_s[i], shp).astype(dt)
                    for i in range(3))
+        uv = None
+        if plan.has_image:                     # ops/rect.py convention
+            uv = ((pa - pk[b + R_KA0]) / (pk[b + R_KA1] - pk[b + R_KA0]),
+                  (pb - pk[b + R_KB0]) / (pk[b + R_KB1] - pk[b + R_KB0]))
         return merge(best, ok, t, wn, b, R_ALB0, R_ALB1, R_MTYPE, R_TEXK,
-                     R_FUZZ, R_REF, R_TEXS)
+                     R_FUZZ, R_REF, R_TEXS, uv)
 
     def sphere_probe(best, b):
         """b = packed base offset of one sphere (static OR traced int)."""
@@ -710,8 +800,19 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
         # normal (p - c)/r: sign(r) keeps the hollow-dielectric flip
         inv_r = 1.0 / rr
         wn = tuple((o[i] + t * d[i] - c[i]) * inv_r for i in range(3))
+        uv = None
+        if plan.has_image:
+            # ops/sphere.sphere_uv from the OUTWARD unit normal wn*sign(r)
+            # (kernel-safe _atan2 — Mosaic lowers no inverse trig)
+            sgn = jnp.sign(rr)
+            nux, nuy, nuz = wn[0] * sgn, wn[1] * sgn, wn[2] * sgn
+            phi = _atan2(nuz, nux)
+            theta = _atan2(
+                nuy, jnp.sqrt(jnp.maximum(1.0 - nuy * nuy, 1e-12)))
+            uv = (1.0 - (phi + _PI) / (2.0 * _PI),
+                  (theta + _PI / 2.0) / _PI)
         return merge(best, ok, t, wn, b, S_ALB0, S_ALB1, S_MTYPE, S_TEXK,
-                     S_FUZZ, S_REF, S_TEXS)
+                     S_FUZZ, S_REF, S_TEXS, uv)
 
     # Small prim groups unroll (constant offsets, best codegen); large
     # groups run a fori_loop with DYNAMIC packed offsets — pk lives in
@@ -1024,6 +1125,42 @@ def _media_scatter(plan, pk, gitem, depth, o, d, rec):
     return rec
 
 
+# atan on [0,1] as an odd degree-15 polynomial (least-squares on
+# chebyshev nodes, max error 4.1e-8): Mosaic has no atan/atan2/asin
+# lowering, and the sphere-UV image lookup needs phi/theta in-kernel.
+_ATAN_C = (9.9999943683e-01, -3.3330106613e-01, 1.9948508154e-01,
+           -1.3915797732e-01, 9.6562440669e-02, -5.6062997324e-02,
+           2.1946480255e-02, -4.0732716436e-03)
+
+
+def _atan2(y, x):
+    """Kernel-safe arctan2 (max abs error ~4e-8 rad vs XLA's)."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    den = jnp.maximum(jnp.maximum(ax, ay), 1e-30)
+    r = jnp.minimum(ax, ay) / den
+    r2 = r * r
+    a = _ATAN_C[7]
+    for c in _ATAN_C[6::-1]:
+        a = a * r2 + c
+    a = a * r
+    a = jnp.where(ay > ax, _PI / 2.0 - a, a)
+    a = jnp.where(x < 0.0, _PI - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _row_gather(row, lane_idx):
+    """Per-lane lookup into one 128-texel atlas row (shape-polymorphic).
+
+    In the Pallas kernel lanes are (B, 128) tiles and the lookup lowers to
+    Mosaic's lane-axis dynamic gather (take_along_axis axis=1 — the one
+    2D gather form it supports, probed); in plain jnp it is an ordinary
+    XLA gather."""
+    if lane_idx.ndim == 2:
+        return jnp.take_along_axis(
+            jnp.broadcast_to(row, lane_idx.shape), lane_idx, axis=1)
+    return row[lane_idx]
+
+
 def step(plan: BouncePlan, pk, gitem, px, py, fresh, alive, depth,
          o, d, time, rad, tp):
     """One fused pool iteration: regen fresh lanes, trace, shade.
@@ -1031,7 +1168,12 @@ def step(plan: BouncePlan, pk, gitem, px, py, fresh, alive, depth,
     All args lane-shaped (any shape); o/d/rad/tp are (x,y,z) tuples.
     Returns (o', d', time', rad', tp', scattering) — the caller (pool glue)
     handles termination bookkeeping, the work queue, and the framebuffer.
+    With image textures, `pk` is the (scalar buffer, texel atlas) pair
+    from pack().
     """
+    imgtex = None
+    if plan.has_image:
+        pk, imgtex = pk
     dt = px.dtype
     # --- regenerate fresh lanes (camera rays; main.scm:452-469) -----------
     u_cam = rng.hash_uniforms_tuple(plan.seed, gitem, rng.CAMERA_DEPTH, 5,
@@ -1081,6 +1223,34 @@ def step(plan: BouncePlan, pk, gitem, px, py, fresh, alive, depth,
                      (gray_n, gray_n, gray_n), alb)
         alb = where3(texk == float(sb.TEX_MARBLE),
                      (gray_m, gray_m, gray_m), alb)
+
+    if plan.has_image:
+        # texture.scm:36-50 — clamped nearest lookup, v flipped.  The
+        # image-textured prims carry (iw, ih, first_atlas_row) in their
+        # alb0 slots (_mat_fields); the texel lives at flat index
+        # j*iw + i of channel plane c = atlas rows base + c*nchunks +
+        # flat//128, lane flat%128.  One static loop over all atlas rows:
+        # a lane-gather per row + 3 selects (IMG_ROWS_MAX bounds it).
+        is_img = texk == float(sb.TEX_IMAGE)
+        iw_f, ih_f, cb_f = rec["alb0"]
+        ii = jnp.clip(rec["u"] * iw_f, 0.0,
+                      jnp.maximum(iw_f - 1.0, 0.0)).astype(jnp.int32)
+        jj = jnp.clip((1.0 - rec["v"]) * ih_f - 0.001, 0.0,
+                      jnp.maximum(ih_f - 1.0, 0.0)).astype(jnp.int32)
+        # non-image lanes hold colors in alb0 — sanitize so the gather
+        # index stays in [0, 128) (Mosaic int rem is C-style on negatives)
+        flat = jnp.where(is_img, jj * iw_f.astype(jnp.int32) + ii, 0)
+        lane = flat % 128
+        chunk = flat // 128
+        nck = ((iw_f * ih_f).astype(jnp.int32) + 127) // 128
+        cb = jnp.where(is_img, cb_f, 0.0).astype(jnp.int32)
+        texel = [jnp.zeros_like(px) for _ in range(3)]
+        for r in range(plan.img_rows):
+            g = _row_gather(imgtex[r], lane)
+            for ch in range(3):
+                want = cb + ch * nck + chunk
+                texel[ch] = texel[ch] + jnp.where(want == r, g, 0.0)
+        alb = where3(is_img, tuple(texel), alb)
 
     # --- emission (material.scm:103-111) ------------------------------------
     mtype = rec["mtype"]
@@ -1228,12 +1398,17 @@ def as_pallas(plan: BouncePlan, m: int, block_rows: int = 0,
     grid = (rows // br,)
     P = plan.size
 
-    def kernel(pk_ref, gitem_ref, px_ref, py_ref, fresh_ref, alive_ref,
-               depth_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, t_r,
-               rx_r, ry_r, rz_r, tx_r, ty_r, tz_r,
-               o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_t,
-               o_rx, o_ry, o_rz, o_tx, o_ty, o_tz, o_sc):
-        pk = _SmemPk(pk_ref)
+    def kernel(pk_ref, *refs):
+        if plan.has_image:
+            imgtex_ref, refs = refs[0], refs[1:]
+            pk = (_SmemPk(pk_ref), imgtex_ref)
+        else:
+            pk = _SmemPk(pk_ref)
+        (gitem_ref, px_ref, py_ref, fresh_ref, alive_ref, depth_ref,
+         ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, t_r,
+         rx_r, ry_r, rz_r, tx_r, ty_r, tz_r,
+         o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_t,
+         o_rx, o_ry, o_rz, o_tx, o_ty, o_tz, o_sc) = refs
         o, d, time, rad, tp, scattering = step(
             plan, pk, gitem_ref[:], px_ref[:], py_ref[:],
             fresh_ref[:] != 0, alive_ref[:] != 0, depth_ref[:],
@@ -1254,16 +1429,24 @@ def as_pallas(plan: BouncePlan, m: int, block_rows: int = 0,
     # extract + full-lane broadcast for every one of the ~40*n_prims reads
     pk_spec = pl.BlockSpec((1, P), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
+    # texel atlas: VMEM-resident, whole array every grid step (tiny —
+    # IMG_ROWS_MAX * 512B)
+    img_spec = pl.BlockSpec((plan.img_rows, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
 
     def stepfn(plan_, pk, gitem, px, py, fresh, alive, depth, o, d, time,
                rad, tp):
+        imgs = []
+        if plan.has_image:
+            pk, imgtex = pk
+            imgs = [imgtex]
         dt = px.dtype
         r2 = lambda x: x.reshape(rows, 128)
-        f32s = [px, py, time, *o, *d, *rad, *tp]
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[pk_spec] + [lane_spec] * 19,
+            in_specs=([pk_spec] + [img_spec] * len(imgs)
+                      + [lane_spec] * 19),
             out_specs=[lane_spec] * 14,
             out_shape=([jax.ShapeDtypeStruct((rows, 128), dt)] * 13
                        + [jax.ShapeDtypeStruct((rows, 128), jnp.int32)]),
@@ -1275,7 +1458,7 @@ def as_pallas(plan: BouncePlan, m: int, block_rows: int = 0,
                 vmem_limit_bytes=100 * 1024 * 1024) if not interpret
             else None,
             interpret=interpret,
-        )(pk.reshape(1, P), r2(gitem), r2(px), r2(py),
+        )(pk.reshape(1, P), *imgs, r2(gitem), r2(px), r2(py),
           r2(fresh.astype(jnp.int32)), r2(alive.astype(jnp.int32)),
           r2(depth), r2(o[0]), r2(o[1]), r2(o[2]),
           r2(d[0]), r2(d[1]), r2(d[2]), r2(time),
@@ -1312,6 +1495,10 @@ def as_pallas_bwd(plan: BouncePlan, m: int, block_rows: int = 64,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # image textures ride the forward megakernel only: the texel gather's
+    # transpose (a lane-axis scatter-add) has no Mosaic lowering, so
+    # reverse mode routes image scenes to the jnp fused step (pool_fused)
+    assert not plan.has_image, "custom-VJP kernel excludes image textures"
     assert m % 128 == 0, m
     rows = m // 128
     br = _block_rows_for(rows, block_rows)
@@ -1602,9 +1789,12 @@ def mosaic_lowers(plan: BouncePlan, m: int, dtype_name: str) -> bool:
     stepfn = as_pallas(plan, m)
     sd = lambda d: jax.ShapeDtypeStruct((m,), d)
     v3 = lambda: (sd(dt), sd(dt), sd(dt))
+    pk_sd = jax.ShapeDtypeStruct((plan.size,), dt)
+    if plan.has_image:
+        pk_sd = (pk_sd, jax.ShapeDtypeStruct((plan.img_rows, 128), dt))
     try:
         jax.jit(stepfn, static_argnums=(0,)).lower(
-            plan, jax.ShapeDtypeStruct((plan.size,), dt),
+            plan, pk_sd,
             sd(jnp.int32), sd(dt), sd(dt), sd(bool), sd(bool),
             sd(jnp.int32), v3(), v3(), sd(dt), v3(), v3()).compile()
         return True

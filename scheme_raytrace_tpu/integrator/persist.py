@@ -161,6 +161,7 @@ def render_pool_persistent(scene, cam, config, raw0, sample_base, pix0=0,
     assert dtype == jnp.float32, "persistent kernel packs state as f32"
 
     plan = bounce.make_plan(scene, config)
+    assert not plan.has_image   # experimental pool: no texel atlas
     pk = bounce.pack(scene, cam, plan, dtype).reshape(1, -1)
     call = _make_call(plan, m, n_work, n_pix, pix0, total_pix, T,
                       interpret=interpret)

@@ -156,12 +156,15 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
     use_vjp_kernel = False
     if static_iters is not None:
         if config.use_pallas is None:
+            # image scenes run the jnp fused step in reverse mode: the
+            # texel gather's transpose has no Mosaic lowering
             use_vjp_kernel = (jax.default_backend() == "tpu"
+                              and not plan.has_image
                               and bounce.pallas_ok(plan)
                               and bounce.mosaic_compiles_vjp(plan, m,
                                                              config.dtype))
         else:
-            use_vjp_kernel = config.use_pallas
+            use_vjp_kernel = config.use_pallas and not plan.has_image
         step = (bounce.as_pallas_vjp(plan, m) if use_vjp_kernel
                 else bounce.step)
         LAST_STEP_IMPL["reverse"] = "pallas-vjp" if use_vjp_kernel else "jnp"

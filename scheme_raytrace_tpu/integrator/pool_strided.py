@@ -64,6 +64,7 @@ def render_pool_strided(scene, cam, config, raw0, sample_base, pix0=0,
     F = FLUSH_EVERY
 
     plan = bounce.make_plan(scene, config)
+    assert not plan.has_image   # experimental pool: no texel atlas
     pk = bounce.pack(scene, cam, plan, dtype)
     if static_iters is not None:
         use_pallas = False

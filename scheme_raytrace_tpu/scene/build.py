@@ -65,7 +65,7 @@ _DATA_FIELDS = [
 _META_FIELDS = ["has_spheres", "has_rects", "has_media", "has_beziers",
                 "has_klein", "n_lights", "has_perlin_tex", "has_image_tex",
                 "has_checker_tex", "has_moving", "has_rect_xform", "has_bvh",
-                "perlin_seed"]
+                "perlin_seed", "img_dims", "img_groups"]
 
 
 @dataclasses.dataclass
@@ -114,6 +114,10 @@ class Scene:
     # hash-noise seed (static; replaces the reference's load-time tables,
     # perlin.scm:32-36 — see scene/perlin.py)
     perlin_seed: int = 0
+    # image-texture static metadata (the fused kernel needs CONCRETE
+    # texture dims to chunk the texel atlas — scene.tex_iw/ih are traced)
+    img_dims: tuple = ()     # ((ih, iw), ...) per image, atlas order
+    img_groups: tuple = ()   # prim groups whose materials use an image tex
 
     @property
     def dtype(self):
@@ -537,6 +541,19 @@ def compile_scene(objs: Sequence[ob.Hittable], sky: str = "black",
         has_perlin_tex=any(isinstance(t, (ob.NoiseTexture, ob.MarbleTexture))
                            for t in texs.items),
         has_image_tex=any(isinstance(t, ob.ImageTexture) for t in texs.items),
+        img_dims=tuple(
+            (int(np.asarray(t.data).shape[0]), int(np.asarray(t.data).shape[1]))
+            for t in texs.items if isinstance(t, ob.ImageTexture)),
+        img_groups=tuple(sorted(
+            group for group, mids in (
+                ("sphere", [r[5] for r in spheres]),
+                ("rect", [m for (_, _, _, m) in rects]),
+                ("medium", [m[7] for m in media]),
+                ("bezier", [b[2] for b in bezs]),
+                ("klein", [k[1] for k in kleins]))
+            if texs.items and any(
+                isinstance(texs.items[mrecs[m][1]], ob.ImageTexture)
+                for m in set(mids)))),
         has_checker_tex=any(isinstance(t, ob.CheckerTexture)
                             for t in texs.items),
         has_moving=bool(spheres) and not np.allclose(

@@ -97,23 +97,47 @@ def test_fused_matches_vector_marble_light_scene():
 
 
 def test_unsupported_scenes_fall_back():
-    # round 4 lifted media/bezier/klein into the fused path; the remaining
-    # exclusions are image textures, BVH traversal, and russian roulette
+    # round 4 lifted media/bezier/klein into the fused path; round 5 added
+    # small-atlas image textures on spheres/rects — remaining exclusions
+    # are big atlases, image-textured exotic groups, BVH traversal, and
+    # russian roulette
     cfg = CFG
     for spec in [scenes.cornell_smoke(), scenes.test_bezier(),
-                 scenes.klein_scene()]:
+                 scenes.klein_scene(), scenes.textured_scene()]:
         scene = compile_scene(spec.objects, sky=spec.sky)
         assert bounce.supported(scene, cfg)
-    spec = scenes.textured_scene()          # image texture -> general pool
-    scene = compile_scene(spec.objects, sky=spec.sky)
-    assert not bounce.supported(scene, cfg)
+    scene = compile_scene(scenes.textured_scene().objects, sky="gradient")
     assert not bounce.supported(scene, cfg.replace(traversal="bvh"))
+    # atlas beyond IMG_ROWS_MAX -> general pool
+    from scheme_raytrace_tpu.scene import objects as ob
+    big = np.zeros((128, 128, 3), np.float32)
+    sbig = compile_scene(
+        [ob.Sphere((0, 0, -1), 0.5, ob.Lambertian(ob.ImageTexture(big)))],
+        sky="gradient")
+    assert not bounce.supported(sbig, cfg)
+    # image texture on an excluded group (bezier, u=v=0 convention)
+    sb_bez = compile_scene(
+        [ob.Bezier([[0, 0, 0], [0, 1, 0], [1, 1, 0], [1, 0, 0]], 0.1,
+                   ob.Lambertian(ob.ImageTexture(np.ones((4, 4, 3)))))],
+        sky="gradient")
+    assert not bounce.supported(sb_bez, cfg)
     # render still works through the auto dispatcher
     spec = scenes.klein_scene()
     scene = compile_scene(spec.objects, sky=spec.sky)
     cfgk = RenderConfig(nx=8, ny=8, spp=1, max_depth=3)
     mean, _ = R.render_image(scene, spec.camera(aspect=1.0), cfgk)
     assert np.isfinite(np.asarray(mean)).all()
+
+
+def test_fused_matches_vector_image_texture():
+    # image textures in the fused step (texture.scm:36-50; round-5 close
+    # of the last feature-class exclusion): chunked lane-gather atlas +
+    # in-kernel sphere UV.  The polynomial _atan2 differs from XLA's by
+    # <=4.1e-8 rad, so texel picks match the general pool except for
+    # boundary-straddling samples (covered by the outlier allowance).
+    f, v, sf, sv = _render_both(scenes.textured_scene(), CFG)
+    _assert_close(f, v)
+    assert sf == sv
 
 
 def test_pallas_interpret_matches_jnp_step():
@@ -191,3 +215,44 @@ def test_fused_matches_vector_cornell_bezier():
     f, v, *_ = _render_both(scenes.cornell_bezier(),
                             CFG.replace(light_sampling=True))
     _assert_close(f, v)
+
+
+def test_pallas_interpret_matches_jnp_step_image_tex():
+    # the image-texture kernel path (tuple pk with texel atlas, lane-axis
+    # take_along_axis gather, polynomial _atan2 sphere UV) must match the
+    # plain-jnp trace of the same step in interpret mode
+    spec = scenes.textured_scene()
+    config = RenderConfig(nx=16, ny=16, spp=1, max_depth=8)
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    cam = spec.camera(aspect=1.0)
+    plan = bounce.make_plan(scene, config)
+    assert plan.has_image and plan.img_rows == 6
+    pk = bounce.pack(scene, cam, plan, jnp.float32)
+
+    m = 256
+    ks = jax.random.split(jax.random.key(0), 8)
+    gitem = jnp.arange(m, dtype=jnp.int32)
+    px = jax.random.randint(ks[0], (m,), 0, 16).astype(jnp.float32)
+    py = jax.random.randint(ks[1], (m,), 0, 16).astype(jnp.float32)
+    fresh = jax.random.bernoulli(ks[2], 0.5, (m,))
+    alive = fresh | jax.random.bernoulli(ks[3], 0.7, (m,))
+    depth = jax.random.randint(ks[4], (m,), 0, 4)
+    o = tuple(jax.random.uniform(ks[5], (m,)) * 2.0 - 1.0 for _ in range(3))
+    dvec = jax.random.normal(ks[6], (m, 3))
+    dvec = dvec / jnp.linalg.norm(dvec, axis=-1, keepdims=True)
+    d = (dvec[:, 0], dvec[:, 1], dvec[:, 2])
+    zero = jnp.zeros(m)
+    rad = (zero, zero, zero)
+    tp = (jnp.ones(m),) * 3
+
+    ref = bounce.step(plan, pk, gitem, px, py, fresh, alive, depth,
+                      o, d, zero, rad, tp)
+    got = bounce.as_pallas(plan, m, interpret=True)(
+        plan, pk, gitem, px, py, fresh, alive, depth, o, d, zero, rad, tp)
+    for r, g, name in [(ref[0], got[0], "o"), (ref[1], got[1], "d"),
+                       (ref[3], got[3], "rad"), (ref[4], got[4], "tp")]:
+        for i in range(3):
+            np.testing.assert_allclose(np.asarray(g[i]), np.asarray(r[i]),
+                                       rtol=1e-4, atol=1e-3,
+                                       err_msg=f"{name}[{i}]")
+    np.testing.assert_array_equal(np.asarray(got[5]), np.asarray(ref[5]))
