@@ -80,6 +80,9 @@ class ParityConfig:
     # the same smooth mean) document a looser bound here.  The BASELINE
     # FD==AD claim itself is asserted in f64 at golden time regardless.
     f32_grad_rtol: float = 0.10
+    # spp of the big grad workload (the f32-vs-f64 check averages over
+    # paths; heavy-tailed estimators buy their tighter rtol with more)
+    grad_spp_big: int = 32
 
 
 def _grad_bezier_scene() -> scenes.SceneSpec:
@@ -205,14 +208,16 @@ PARITY_CONFIGS: List[ParityConfig] = [
         # the wider round-3 window included near-grazing ribbon hits whose
         # |dz/dcp| ~ 1/sqrt(margin) tail made the estimator heavy-tailed
         # (f32 landed outside the f64 seed spread).  Measured on the
-        # centered window: rel 0.17 at spp32 (0.11 at spp128).
+        # centered window: rel 0.17 at spp32, 0.11 at spp128 — the bound
+        # is committed AT spp128 (grad_spp_big) so no tolerance in the
+        # suite exceeds 0.15 (VERDICT r4 #7).
         window=(3, 5, 2, 6), window_big=(7, 9, 6, 10),
         # The kernel-level d(t_hit)/d(cp) is f32==f64==FD to 7 digits
         # (tests/test_grads.py::test_bezier_hit_t_gradient_matches_fd); the
         # render-level probe goes through the band-limited noise albedo
         # (_grad_bezier_scene — r3's marble variant was chaotic and could
         # only assert order of magnitude, rtol 2.5).
-        f32_grad_rtol=0.25,
+        f32_grad_rtol=0.15, grad_spp_big=128,
     ),
     ParityConfig(
         name="config6_cornell_bezier",
@@ -239,7 +244,8 @@ def build(pc: ParityConfig, dtype, for_grads: bool = False,
     scene = compile_scene(spec.objects, sky=spec.sky, dtype=dtype)
     cam = spec.camera(dtype=dtype, aspect=1.0)
     if for_grads:
-        base = _GRAD_CFG_BIG if big else _GRAD_CFG
+        base = (_GRAD_CFG_BIG.replace(spp=pc.grad_spp_big) if big
+                else _GRAD_CFG)
         config = (pc.grad_config or _GRAD_CFG)
         config = base.replace(light_sampling=config.light_sampling)
     else:
