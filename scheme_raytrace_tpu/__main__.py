@@ -68,7 +68,7 @@ def cmd_render(args):
         profiler_ctx.__enter__()
         print(f"[render] jax.profiler trace -> {args.profile}", flush=True)
 
-    pool = min(config.pool_rays, config.n_pixels * config.spp)
+    pool = min(config.resolve_pool_rays(), config.n_pixels * config.spp)
     try:
         while int(state.sample_count) < args.spp:
             chunk = min(args.chunk, args.spp - int(state.sample_count))
@@ -184,7 +184,7 @@ def main(argv=None):
                    help="mixture cosine/light-PDF importance sampling")
     r.add_argument("--bvh", choices=["none", "median", "sah"],
                    default="none", help="sphere-group accelerator")
-    r.add_argument("--pool-rays", type=int, default=128 * 1024)
+    r.add_argument("--pool-rays", type=int, default=None)
     r.add_argument("--chunk", type=int, default=4,
                    help="samples per progressive chunk (PPM refresh rate)")
     r.add_argument("--out", default="out.ppm")
@@ -214,7 +214,7 @@ def main(argv=None):
     v.add_argument("--light-sampling", action="store_true")
     v.add_argument("--bvh", choices=["none", "median", "sah"],
                    default="none")
-    v.add_argument("--pool-rays", type=int, default=128 * 1024)
+    v.add_argument("--pool-rays", type=int, default=None)
     v.add_argument("--chunk", type=int, default=1,
                    help="passes per refresh (reference: 1)")
     v.add_argument("--out", default="view.ppm",
@@ -236,7 +236,7 @@ def main(argv=None):
     p.add_argument("--light-sampling", action="store_true")
     p.add_argument("--bvh", choices=["none", "median", "sah"],
                    default="none")
-    p.add_argument("--pool-rays", type=int, default=128 * 1024)
+    p.add_argument("--pool-rays", type=int, default=None)
     p.add_argument("--chunk", type=int, default=4, help=argparse.SUPPRESS)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--samples", type=int, default=64)

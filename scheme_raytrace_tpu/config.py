@@ -52,13 +52,21 @@ class RenderConfig:
     traversal: str = "brute"
     # Differentiable path uses a fixed-length scan instead of while_loop.
     differentiable: bool = False
-    # Regeneration-pool size for the fast forward path (integrator/pool.py):
-    # lanes in flight at once; terminated lanes immediately pick up the next
-    # (pixel, sample) work item so occupancy stays ~100%.  Multiple of 8*128
-    # for clean TPU tiling.
-    # v5e sweep optimum for the pixel-unit pool (docs/PERF_NOTES.md r4
-    # finale: 48k 153.9 / 64k 160.5 / 96k 155.1 / 128k 150.9M rays/s fwd)
-    pool_rays: int = 64 * 1024
+    # Regeneration-pool size cap (lanes in flight at once; terminated
+    # lanes immediately pick up the next work item so occupancy stays
+    # ~100%).  None = AUTO: the v5e sweep optimum for the direction —
+    # 64k forward (48k 153.9 / 64k 160.5 / 96k 155.1 / 128k 150.9M
+    # rays/s, docs/PERF_NOTES.md) and 24k reverse-mode (the backward
+    # kernel's higher per-lane cost moves the optimum down while the
+    # drain tail still scales with m) — already clamped to the work size
+    # for small frames and applied PER BAND on banded large frames, so
+    # the auto value holds across frame sizes.  Set an int to pin it.
+    pool_rays: Optional[int] = None
+
+    def resolve_pool_rays(self, reverse: bool = False) -> int:
+        if self.pool_rays is not None:
+            return self.pool_rays
+        return (24 if reverse else 64) * 1024
     # Precision of the compute path ("f32" on TPU; "f64" for the CPU oracle —
     # requires jax_enable_x64, enforced by `jnp_dtype`).
     dtype: str = "f32"

@@ -36,7 +36,14 @@ def supported(scene, config) -> bool:
 def calibrate_iters(scene, cam, config, slack: float = 1.25) -> int:
     """Static trip count for render_diff_fused: one forward pool render
     measures the drain iteration count; `slack` covers run-to-run RNG
-    variation when the caller varies seed/sample_base between calls."""
+    variation when the caller varies seed/sample_base between calls.
+
+    The calibration render is pinned to the REVERSE-mode pool size: under
+    auto sizing (config.pool_rays=None) the forward path would otherwise
+    resolve its own larger optimum and report a drain count the smaller
+    diff pool cannot meet."""
+    config = config.replace(
+        pool_rays=config.resolve_pool_rays(reverse=True))
     raw0 = jnp.zeros((config.n_pixels, 3), config.jnp_dtype)
     _, _, iters = jax.jit(
         lambda s, c: pool_fused.render_pool_fused(s, c, config, raw0, 0)

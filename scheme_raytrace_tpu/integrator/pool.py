@@ -147,7 +147,7 @@ def render_pool(scene, cam, config, raw0, sample_base, pix0=0,
     n_pix = raw0.shape[0]
     total_pix = config.n_pixels if total_pix is None else total_pix
     n_work = n_pix * config.spp
-    m = min(config.pool_rays, n_work)
+    m = min(config.resolve_pool_rays(), n_work)
     dtype = raw0.dtype
 
     item0 = jnp.arange(m, dtype=jnp.int32)

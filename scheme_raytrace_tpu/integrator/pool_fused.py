@@ -138,7 +138,8 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
     plan = bounce.make_plan(scene, config)
     # Both bounds 128-aligned: a user-set --pool-rays that is not a multiple
     # of 128 must not leak through (bounce.as_pallas asserts m % 128 == 0).
-    pool_cap = max(128, config.pool_rays // 128 * 128)
+    pool_cap = max(128, config.resolve_pool_rays(
+        reverse=static_iters is not None) // 128 * 128)
     K = choose_group(n_local, pool_cap, item_stride, plan)
     n_work = n_local // K                      # LOCAL work items (groups)
     m = max(128, min(pool_cap, ((n_work + 127) // 128) * 128))

@@ -58,7 +58,7 @@ def render_pool_strided(scene, cam, config, raw0, sample_base, pix0=0,
     n_pix = raw0.shape[0]
     total_pix = config.n_pixels if total_pix is None else total_pix
     n_work = n_pix * config.spp
-    pool_cap = max(128, config.pool_rays // 128 * 128)
+    pool_cap = max(128, config.resolve_pool_rays() // 128 * 128)
     m = max(128, min(pool_cap, ((n_work + 127) // 128) * 128))
     dtype = raw0.dtype
     F = FLUSH_EVERY

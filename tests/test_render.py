@@ -211,3 +211,24 @@ def test_pixel_group_pool_bit_identical_and_routed():
     assert np.asarray(rawK).max() > 0
     assert int(segK) == int(seg1)
     np.testing.assert_array_equal(np.asarray(rawK), np.asarray(raw1))
+
+
+def test_pool_auto_sizing():
+    # pool_rays=None resolves the measured per-direction optima (VERDICT
+    # r4 #9): 64k forward / 24k reverse on the bench workload, clamped to
+    # the work size on small frames, explicit values untouched.
+    cfg = RenderConfig(nx=512, ny=512, spp=16)
+    assert cfg.pool_rays is None
+    assert cfg.resolve_pool_rays() == 64 * 1024
+    assert cfg.resolve_pool_rays(reverse=True) == 24 * 1024
+    assert cfg.replace(pool_rays=4096).resolve_pool_rays(reverse=True) == 4096
+    # small frame: m clamps to the (grouped) work size, not the cap
+    from scheme_raytrace_tpu.integrator import bounce, pool_fused
+    spec = scenes.cornell_box()
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    cam = spec.camera(aspect=1.0)
+    small = RenderConfig(nx=16, ny=16, spp=2, max_depth=4,
+                         light_sampling=True)
+    raw0 = jnp.zeros((small.n_pixels, 3), jnp.float32)
+    raw, seg, _ = pool_fused.render_pool_fused(scene, cam, small, raw0, 0)
+    assert np.asarray(raw).max() > 0 and int(seg) > 0
