@@ -1442,14 +1442,17 @@ def as_pallas(plan: BouncePlan, m: int, block_rows: int = 0,
             imgs = [imgtex]
         dt = px.dtype
         r2 = lambda x: x.reshape(rows, 128)
+        # under shard_map the outputs inherit the lane inputs' varying-
+        # mesh-axes type; pallas_call requires it stated explicitly
+        vma = getattr(jax.typeof(px), "vma", None) or None
+        sds = lambda d: jax.ShapeDtypeStruct((rows, 128), d, vma=vma)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=([pk_spec] + [img_spec] * len(imgs)
                       + [lane_spec] * 19),
             out_specs=[lane_spec] * 14,
-            out_shape=([jax.ShapeDtypeStruct((rows, 128), dt)] * 13
-                       + [jax.ShapeDtypeStruct((rows, 128), jnp.int32)]),
+            out_shape=[sds(dt)] * 13 + [sds(jnp.int32)],
             # the chunked prim sweep (SWEEP_CHUNK live probes per trip)
             # can exceed the 16MB default scoped-vmem budget on
             # hundreds-of-prims scenes; the raised cap only admits such
@@ -1553,13 +1556,16 @@ def as_pallas_bwd(plan: BouncePlan, m: int, block_rows: int = 64,
               ct_o, ct_d, ct_time, ct_rad, ct_tp):
         dt = px.dtype
         r2 = lambda x: x.reshape(rows, 128)
+        # see as_pallas: outputs state their shard_map varying axes
+        vma = getattr(jax.typeof(px), "vma", None) or None
         outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[pk_spec] + [lane_spec] * 32,
             out_specs=[dpk_spec] + [lane_spec] * 13,
-            out_shape=([jax.ShapeDtypeStruct((grid[0], P), dt)]
-                       + [jax.ShapeDtypeStruct((rows, 128), dt)] * 13),
+            out_shape=([jax.ShapeDtypeStruct((grid[0], P), dt, vma=vma)]
+                       + [jax.ShapeDtypeStruct((rows, 128), dt, vma=vma)]
+                       * 13),
             # transpose live-range pressure: the recompute+transpose body
             # holds ~3x the forward's live values, so the default 16MB
             # scoped-vmem budget OOMs at the forward's block size; small

@@ -68,7 +68,25 @@ def render_pool_balanced(scene, cam: Camera, config: cfg_mod.RenderConfig,
     else:
         raw0 = raw0.reshape(config.n_pixels, 3)
 
-    def local(scene, cam):
+    raw, segments, iters = _balanced_jit(
+        scene, cam, jnp.asarray(sample_base, jnp.int32),
+        config=config, mesh=mesh)
+    return ((raw0 + raw).reshape(config.ny, config.nx, 3), segments,
+            iters)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+def _balanced_jit(scene, cam, sample_base, *, config, mesh):
+    # module-level jit with static (config, mesh): per-call closures would
+    # recompile the sharded graph EVERY call (measured ~1000x slowdown on
+    # chip); sample_base rides as a traced operand so progressive chunks
+    # share one executable
+    from ..integrator import pool_fused
+
+    n_dev = mesh.shape[RAY_AXIS]
+    dtype = config.jnp_dtype
+
+    def local(scene, cam, sample_base):
         shard = jax.lax.axis_index(RAY_AXIS)
         zero = jax.lax.pcast(jnp.zeros((config.n_pixels, 3), dtype),
                              (RAY_AXIS,), to='varying')
@@ -80,11 +98,9 @@ def render_pool_balanced(scene, cam: Camera, config: cfg_mod.RenderConfig,
                 jax.lax.psum(segments, RAY_AXIS),
                 jax.lax.pmax(iters, RAY_AXIS))
 
-    fn = shard_map(local, mesh=mesh, in_specs=(P(), P()),
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(), P()),
                    out_specs=(P(), P(), P()))
-    raw, segments, iters = jax.jit(fn)(scene, cam)
-    return ((raw0 + raw).reshape(config.ny, config.nx, 3), segments,
-            iters)
+    return fn(scene, cam, sample_base)
 
 
 def render_pool_sharded(scene, cam: Camera, config: cfg_mod.RenderConfig,
@@ -105,7 +121,19 @@ def render_pool_sharded(scene, cam: Camera, config: cfg_mod.RenderConfig,
     else:
         raw0 = raw0.reshape(config.ny * config.nx, 3)
 
-    def local(scene, cam, raw_shard):
+    raw, segments, iters = _sharded_jit(
+        scene, cam, raw0, jnp.asarray(sample_base, jnp.int32),
+        config=config, mesh=mesh)
+    return raw.reshape(config.ny, config.nx, 3), segments, iters
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+def _sharded_jit(scene, cam, raw0, sample_base, *, config, mesh):
+    # see _balanced_jit: cached executable, traced sample_base
+    n_dev = mesh.shape[RAY_AXIS]
+    local_pix = (config.ny // n_dev) * config.nx
+
+    def local(scene, cam, raw_shard, sample_base):
         shard = jax.lax.axis_index(RAY_AXIS)
         raw, segments, iters = render_pool_auto(
             scene, cam, config, raw_shard, sample_base,
@@ -116,7 +144,6 @@ def render_pool_sharded(scene, cam: Camera, config: cfg_mod.RenderConfig,
                 jax.lax.pmax(iters, RAY_AXIS))
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), P(), P(RAY_AXIS)),
+                   in_specs=(P(), P(), P(RAY_AXIS), P()),
                    out_specs=(P(RAY_AXIS), P(), P()))
-    raw, segments, iters = jax.jit(fn)(scene, cam, raw0)
-    return raw.reshape(config.ny, config.nx, 3), segments, iters
+    return fn(scene, cam, raw0, sample_base)
