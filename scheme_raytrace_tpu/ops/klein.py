@@ -91,9 +91,26 @@ def _march_one(o, d, center, t_min, t_max):
 
 
 def intersect(o, d, time, scene, t_min, t_max):
-    """Closest klein hit per ray; usually 1 instance per scene."""
+    """Closest klein hit per ray; usually 1 instance per scene.
+
+    The march runs under stop_gradient and the differentiable hit t is
+    attached afterwards by the implicit-function correction
+    t -= (DE(o + t d) - eps)/dDE/dt at the converged root — the SAME
+    convention as the fused kernel's klein_probe (integrator/bounce.py).
+    Differentiating THROUGH the 100-step march tape (the pre-round-5
+    design) is both slower and NaN-prone: march/tape positions of rays
+    that pass near an inversion-sphere center (e.g. (550,500,280) sits
+    inside the Cornell box) overflow the squared reverse-mode tangents
+    to inf, and inf - inf poisons every gradient leaf through the masked
+    selects even though those lanes lose the closest-hit merge.  The
+    gradient probe is likewise evaluated at a benign point for miss
+    lanes, whose positions are arbitrary (t_max) and carry no signal.
+    Forward values are bit-identical to the tape design (the correction
+    term is zero in the primal)."""
+    sg = jax.lax.stop_gradient
+
     def one(center, valid, mat):
-        h, t = _march_one(o, d, center, t_min, t_max)
+        h, t = _march_one(sg(o), sg(d), sg(center), t_min, t_max)
         return h & valid, t, mat
 
     best_t = jnp.full(o.shape[:-1], jnp.inf, o.dtype)
@@ -108,8 +125,21 @@ def intersect(o, d, time, scene, t_min, t_max):
         best_c = vm.where3(closer, jnp.broadcast_to(scene.kl_center[i], o.shape),
                            best_c)
     hit = jnp.isfinite(best_t)
-    tb = jnp.where(hit, best_t, t_max)
-    p = o + tb[..., None] * d
-    normal = get_normal(best_c, p)
+    t_raw = sg(jnp.where(hit, best_t, t_max))
+    p_raw = o + t_raw[..., None] * d               # differentiable in o, d
+    safe = jnp.asarray([200.0, 0.0, 0.0], o.dtype)  # outside every
+    p_eval = jnp.where(hit[..., None], p_raw, sg(best_c) + safe)  # inv. sphere
+    de = dist_func(best_c, p_eval)
+    g = jnp.stack([jax.jvp(lambda q: dist_func(best_c, q), (p_eval,),
+                           (jnp.broadcast_to(jnp.eye(3, dtype=o.dtype)[ax],
+                                             p_eval.shape),))[1]
+                   for ax in range(3)], axis=-1)
+    ddt = jnp.sum(g * d, axis=-1)
+    denom = jnp.where(jnp.abs(ddt) > 1e-6, ddt,
+                      jnp.where(ddt >= 0.0, 1e-6, -1e-6))
+    corr = jnp.where(hit, (de - cfg.KLEIN_SURF_EPS) / denom, 0.0)
+    t = t_raw - (corr - sg(corr))                  # primal == t_raw
+    normal = vm.unit(g)
+    tb = jnp.where(hit, t, t_max)
     zero = jnp.zeros_like(tb)
     return hit, tb, normal, best_mat, zero, zero

@@ -181,3 +181,23 @@ def test_no_nan_grads_on_full_cornell():
     g = jax.grad(_mean_image)(params, rest, cam, cfg)
     for name, leaf in g.items():
         assert np.isfinite(np.asarray(leaf)).all(), f"NaN grad in {name}"
+
+
+def test_no_nan_grads_on_cornell_klein_wavefront():
+    # Round-5 regression (found driving the public API): the wavefront
+    # path differentiated THROUGH the klein march's 100-step fori tape;
+    # tape positions of rays passing near an inversion-sphere center
+    # ((550,500,280) lies inside the Cornell box) overflow the squared
+    # reverse-mode tangents to inf, and inf - inf poisoned EVERY gradient
+    # leaf (kl_center, rect_k, rect_flip...) through the masked selects.
+    # ops/klein.intersect now marches under stop_gradient and attaches
+    # the implicit-function t at the root, the fused kernel's convention.
+    from scheme_raytrace_tpu import scenes as sc_mod
+    spec = sc_mod.cornell_klein()
+    scene = compile_scene(spec.objects, sky=spec.sky)
+    cam = spec.camera(aspect=1.0)
+    params, rest = sb.partition(scene)
+    g = jax.grad(_mean_image)(params, rest, cam, CFG)
+    for name, leaf in g.items():
+        assert np.isfinite(np.asarray(leaf)).all(), f"NaN grad in {name}"
+    assert np.abs(np.asarray(g["kl_center"])).max() > 0
