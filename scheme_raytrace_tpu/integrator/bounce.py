@@ -172,11 +172,39 @@ class BouncePlan:
     # image textures: static (ih, iw) per atlas image — the kernel texel
     # lookup is a static loop over 128-texel chunk rows (see step)
     img_dims: tuple = ()
+    # large-sphere-group sweep keeps only (t, winner index) in its fori
+    # carry and fetches the winner's 21 packed attributes ONCE post-loop
+    # from a VMEM attribute atlas (lane-axis take_along_axis gathers, the
+    # image-texture mechanism) — the in-loop 14-select merge was ~half
+    # the sweep's vector ops (round-5 ablation: RTOW-final 34 -> 111M
+    # rays/s ceiling).  Forward-only: the gather's transpose has no
+    # Mosaic lowering, so reverse mode replays with attr_sweep=False
+    # (bitwise-identical values either way — the atlas rows are the
+    # packed sphere block's own columns).
+    attr_sweep: bool = False
     size: int = 0
 
     @property
     def has_image(self) -> bool:
         return bool(self.img_dims)
+
+    @property
+    def sph_chunks(self) -> int:
+        """128-sphere chunks of the attribute atlas."""
+        return -(-self.n_spheres // 128)
+
+    @property
+    def attr_rows(self) -> int:
+        return SPH_SIZE * self.sph_chunks if self.attr_sweep else 0
+
+    @property
+    def atlas_rows(self) -> int:
+        """Total VMEM atlas rows: image texel planes, then sphere attrs."""
+        return self.img_rows + self.attr_rows
+
+    @property
+    def has_atlas(self) -> bool:
+        return self.has_image or self.attr_sweep
 
     @property
     def img_chunks(self):
@@ -305,7 +333,9 @@ def make_plan(scene, config) -> BouncePlan:
         n_kleins=int(scene.kl_center.shape[0]) if scene.has_klein else 0,
         n_beziers=int(scene.bez_w.shape[0]) if scene.has_beziers else 0,
         bez_seeds=config.bezier_seeds, bez_newton=config.bezier_newton,
-        img_dims=scene.img_dims if scene.has_image_tex else ())
+        img_dims=scene.img_dims if scene.has_image_tex else (),
+        attr_sweep=(int(scene.sph_r.shape[0]) if scene.has_spheres else 0)
+        > UNROLL_MAX)
 
 
 def _mat_fields(scene, mid, img_bases=None):
@@ -398,6 +428,7 @@ def pack(scene, cam, plan: BouncePlan, dtype):
         assert block.shape[1] == RECT_SIZE
         pieces.append(block.ravel())
 
+    sph_attr = None
     if plan.n_spheres:
         mtype, alb0, alb1, texk, texs = _mat_fields(scene, scene.sph_mat, img_bases)
         block = jnp.concatenate([
@@ -411,6 +442,16 @@ def pack(scene, cam, plan: BouncePlan, dtype):
         ], axis=1).astype(dtype)
         assert block.shape[1] == SPH_SIZE
         pieces.append(block.ravel())
+        if plan.attr_sweep:
+            # attribute atlas = this very block's columns, 128-sphere
+            # chunked: atlas row img_rows + a*sph_chunks + k holds
+            # attribute column a of spheres [k*128, (k+1)*128) — the
+            # values the slim sweep fetches are bitwise the pk values.
+            nck = plan.sph_chunks
+            cols = jnp.concatenate(
+                [block, jnp.zeros((nck * 128 - plan.n_spheres, SPH_SIZE),
+                                  dtype)], axis=0)
+            sph_attr = jnp.transpose(cols).reshape(SPH_SIZE * nck, 128)
 
     if plan.n_lights:
         block = jnp.concatenate([
@@ -478,7 +519,13 @@ def pack(scene, cam, plan: BouncePlan, dtype):
 
     pk = jnp.concatenate(pieces)
     assert pk.shape[0] == plan.size, (pk.shape, plan.size)
-    return (pk, imgtex) if plan.has_image else pk
+    if plan.has_atlas:
+        parts = ([imgtex] if imgtex is not None else []) \
+            + ([sph_attr] if sph_attr is not None else [])
+        atlas = jnp.concatenate(parts, axis=0)
+        assert atlas.shape == (plan.atlas_rows, 128), atlas.shape
+        return pk, atlas
+    return pk
 
 
 # ---------------------------------------------------------------------------
@@ -759,7 +806,7 @@ def _klein_march(c, o, d, t_min, t_max):
     return hit_i != 0, ray_len
 
 
-def _intersect(plan, pk, o, d, time, t_min, t_max):
+def _intersect(plan, pk, o, d, time, t_min, t_max, atlas=None):
     """Unrolled closest-hit sweep over every solid group, material merged in.
 
     Covers rects, spheres, kleins (sphere-traced SDF) and beziers
@@ -882,9 +929,120 @@ def _intersect(plan, pk, o, d, time, t_min, t_max):
             best, plan.n_rects,
             lambda bst, r: rect_probe(bst, plan.rect_base + r * RECT_SIZE))
 
+    def _sphere_sweep_slim(best):
+        """Dynamic sphere sweep with a (t, winner-index) carry only.
+
+        The full _prim_loop merge pays 14 lane-wide attribute selects +
+        the 3-lane normal per probe; here each probe is just the
+        quadratic + 2 selects, and the winner's 21 packed attributes are
+        fetched ONCE post-loop from the VMEM attribute atlas (pack():
+        the sphere block's own columns, 128-sphere chunk rows) via the
+        image-texture lane-gather mechanism.  Values are bitwise the
+        full-merge path's: same t comparisons (strict <, first-index
+        ties), same attribute floats, the normal recomputed from the
+        same formula and inputs.  Round-5 ablation ceiling: RTOW-final
+        34 -> 111M rays/s with the merge stripped."""
+        nsph = plan.n_spheres
+        trips = -(-nsph // SWEEP_CHUNK)
+
+        def cand(sidx):
+            """(ok, t) for one sphere at traced index sidx."""
+            b = plan.sph_base + sidx * SPH_SIZE
+            c0 = _v(pk, b + S_C0)
+            if plan.has_moving:
+                span = pk[b + S_T1] - pk[b + S_T0]
+                frac = ((time - pk[b + S_T0])
+                        / jnp.where(span == 0.0, 1.0, span))
+                c1 = _v(pk, b + S_C1)
+                c = tuple(c0[i] + frac * (c1[i] - c0[i]) for i in range(3))
+            else:
+                c = tuple(jnp.broadcast_to(c0[i], shp).astype(dt)
+                          for i in range(3))
+            rr = pk[b + S_R]
+            oc = sub3(o, c)
+            bq = dot3(oc, d)
+            cq = dot3(oc, oc) - rr * rr
+            disc = bq * bq - cq
+            okd = disc > 0.0
+            sq = jnp.sqrt(jnp.where(okd, disc, 1.0))
+            t0 = -bq - sq
+            t1 = -bq + sq
+            in0 = okd & (t0 > t_min) & (t0 < big)
+            in1 = okd & (t1 > t_min) & (t1 < big)
+            t = jnp.where(in0, t0, jnp.where(in1, t1, big))
+            ok = (in0 | in1) & (pk[b + S_VALID] > 0.5)
+            return ok, t
+
+        def body(i, st):
+            t_b, idx_b = st
+            for j in range(SWEEP_CHUNK):
+                sidx = jnp.minimum(i * SWEEP_CHUNK + j, nsph - 1)
+                ok, t = cand(sidx)
+                closer = ok & (t < t_b)
+                t_b = jnp.where(closer, t, t_b)
+                idx_b = jnp.where(closer, sidx, idx_b)
+            return t_b, idx_b
+
+        t_w, idx_w = jax.lax.fori_loop(
+            0, trips, body, (best["t"], jnp.full(shp, -1, jnp.int32)))
+        upd = idx_w >= 0
+        idx_s = jnp.maximum(idx_w, 0)
+        lane = idx_s % 128
+        chunk = idx_s // 128
+        nck = plan.sph_chunks
+
+        def fetch(a):
+            """Winner's packed attribute column a, per lane."""
+            val = jnp.zeros(shp, dt)
+            for k in range(nck):
+                g = _row_gather(atlas[plan.img_rows + a * nck + k], lane)
+                val = jnp.where(chunk == k, g, val)
+            return val
+
+        if plan.has_moving:
+            ft0 = fetch(S_T0)
+            span = fetch(S_T1) - ft0
+            frac = (time - ft0) / jnp.where(span == 0.0, 1.0, span)
+            c = tuple(fetch(S_C0 + i)
+                      + frac * (fetch(S_C1 + i) - fetch(S_C0 + i))
+                      for i in range(3))
+        else:
+            c = tuple(fetch(S_C0 + i) for i in range(3))
+        rr = fetch(S_R)
+        # miss lanes fetch the zero-padded atlas tail: guard the divide
+        # so no inf reaches the (masked) normal in reverse mode
+        inv_r = 1.0 / jnp.where(upd, rr, 1.0)
+        wn = tuple((o[i] + t_w * d[i] - c[i]) * inv_r for i in range(3))
+        out = {
+            "hit": best["hit"] | upd,
+            "t": t_w,
+            "wn": where3(upd, wn, best["wn"]),
+            "mtype": jnp.where(upd, fetch(S_MTYPE), best["mtype"]),
+            "alb0": where3(upd, tuple(fetch(S_ALB0 + i) for i in range(3)),
+                           best["alb0"]),
+            "alb1": where3(upd, tuple(fetch(S_ALB1 + i) for i in range(3)),
+                           best["alb1"]),
+            "texk": jnp.where(upd, fetch(S_TEXK), best["texk"]),
+            "texs": jnp.where(upd, fetch(S_TEXS), best["texs"]),
+            "fuzz": jnp.where(upd, fetch(S_FUZZ), best["fuzz"]),
+            "ref": jnp.where(upd, fetch(S_REF), best["ref"]),
+        }
+        if plan.has_image:
+            sgn = jnp.sign(jnp.where(upd, rr, 1.0))
+            nux, nuy, nuz = wn[0] * sgn, wn[1] * sgn, wn[2] * sgn
+            phi = _atan2(nuz, nux)
+            theta = _atan2(
+                nuy, jnp.sqrt(jnp.maximum(1.0 - nuy * nuy, 1e-12)))
+            out["u"] = jnp.where(upd, 1.0 - (phi + _PI) / (2.0 * _PI),
+                                 best["u"])
+            out["v"] = jnp.where(upd, (theta + _PI / 2.0) / _PI, best["v"])
+        return out
+
     if plan.n_spheres <= UNROLL_MAX:
         for s in range(plan.n_spheres):
             best = sphere_probe(best, plan.sph_base + s * SPH_SIZE)
+    elif plan.attr_sweep and atlas is not None:
+        best = _sphere_sweep_slim(best)
     else:
         best = _prim_loop(
             best, plan.n_spheres,
@@ -1214,8 +1372,8 @@ def step(plan: BouncePlan, pk, gitem, px, py, fresh, alive, depth,
     from pack().
     """
     imgtex = None
-    if plan.has_image:
-        pk, imgtex = pk
+    if plan.has_atlas:
+        pk, imgtex = pk       # image texel planes first, then sphere attrs
     dt = px.dtype
     # --- regenerate fresh lanes (camera rays; main.scm:452-469) -----------
     u_cam = rng.hash_uniforms_tuple(plan.seed, gitem, rng.CAMERA_DEPTH, 5,
@@ -1230,7 +1388,8 @@ def step(plan: BouncePlan, pk, gitem, px, py, fresh, alive, depth,
     tp = where3(fresh, (one, one, one), tp)
 
     # --- closest hit (geometry.scm:33-50) ----------------------------------
-    rec = _intersect(plan, pk, o, d, time, cfg_mod.SHADOW_EPS, cfg_mod.BIG)
+    rec = _intersect(plan, pk, o, d, time, cfg_mod.SHADOW_EPS, cfg_mod.BIG,
+                     atlas=imgtex)
     if plan.n_media:
         rec = _media_scatter(plan, pk, gitem, depth, o, d, rec)
     hit = rec["hit"]
@@ -1441,7 +1600,7 @@ def as_pallas(plan: BouncePlan, m: int, block_rows: int = 0,
     P = plan.size
 
     def kernel(pk_ref, *refs):
-        if plan.has_image:
+        if plan.has_atlas:
             imgtex_ref, refs = refs[0], refs[1:]
             pk = (_SmemPk(pk_ref), imgtex_ref)
         else:
@@ -1471,15 +1630,16 @@ def as_pallas(plan: BouncePlan, m: int, block_rows: int = 0,
     # extract + full-lane broadcast for every one of the ~40*n_prims reads
     pk_spec = pl.BlockSpec((1, P), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
-    # texel atlas: VMEM-resident, whole array every grid step (tiny —
-    # IMG_ROWS_MAX * 512B)
-    img_spec = pl.BlockSpec((plan.img_rows, 128), lambda i: (0, 0),
+    # texel/attr atlas: VMEM-resident, whole array every grid step (small —
+    # IMG_ROWS_MAX texel rows + 21*ceil(n_spheres/128) attribute rows, at
+    # 512B each)
+    img_spec = pl.BlockSpec((plan.atlas_rows, 128), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
     def stepfn(plan_, pk, gitem, px, py, fresh, alive, depth, o, d, time,
                rad, tp):
         imgs = []
-        if plan.has_image:
+        if plan.has_atlas:
             pk, imgtex = pk
             imgs = [imgtex]
         dt = px.dtype
@@ -1544,6 +1704,9 @@ def as_pallas_bwd(plan: BouncePlan, m: int, block_rows: int = 64,
     # transpose (a lane-axis scatter-add) has no Mosaic lowering, so
     # reverse mode routes image scenes to the jnp fused step (pool_fused)
     assert not plan.has_image, "custom-VJP kernel excludes image textures"
+    # (and the attr-atlas sweep — same lane-gather transpose problem; the
+    # reverse path passes an attr_sweep=False plan, values are identical)
+    assert not plan.attr_sweep, "custom-VJP kernel replays the pk-only sweep"
     assert m % 128 == 0, m
     rows = m // 128
     br = _block_rows_for(rows, block_rows)
@@ -1838,8 +2001,8 @@ def mosaic_lowers(plan: BouncePlan, m: int, dtype_name: str) -> bool:
     sd = lambda d: jax.ShapeDtypeStruct((m,), d)
     v3 = lambda: (sd(dt), sd(dt), sd(dt))
     pk_sd = jax.ShapeDtypeStruct((plan.size,), dt)
-    if plan.has_image:
-        pk_sd = (pk_sd, jax.ShapeDtypeStruct((plan.img_rows, 128), dt))
+    if plan.has_atlas:
+        pk_sd = (pk_sd, jax.ShapeDtypeStruct((plan.atlas_rows, 128), dt))
     try:
         jax.jit(stepfn, static_argnums=(0,)).lower(
             plan, pk_sd,

@@ -136,6 +136,14 @@ def render_pool_fused(scene, cam, config, raw0, sample_base, pix0=0,
     assert n_pix % item_stride == 0, (n_pix, item_stride)
     n_local = n_pix // item_stride             # LOCAL pixels
     plan = bounce.make_plan(scene, config)
+    if static_iters is not None and plan.attr_sweep:
+        # reverse mode replays the pk-only sweep: the attribute atlas's
+        # lane-gather has no Mosaic transpose (same class as the image
+        # texel gather), and the custom-VJP kernels trace `step` directly.
+        # Values are bitwise-identical either way (bounce.BouncePlan.
+        # attr_sweep), so only the forward loses the slim-sweep speedup.
+        import dataclasses
+        plan = dataclasses.replace(plan, attr_sweep=False)
     # Both bounds 128-aligned: a user-set --pool-rays that is not a multiple
     # of 128 must not leak through (bounce.as_pallas asserts m % 128 == 0).
     pool_cap = max(128, config.resolve_pool_rays(

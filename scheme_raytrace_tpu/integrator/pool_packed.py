@@ -54,6 +54,9 @@ def render_pool_packed(scene, cam, config, raw0, sample_base, pix0=0,
 
     plan = bounce.make_plan(scene, config)
     assert not plan.has_image   # experimental pool: no texel atlas
+    if plan.attr_sweep:           # experimental pools: pk-only sweep
+        import dataclasses
+        plan = dataclasses.replace(plan, attr_sweep=False)
     pk = bounce.pack(scene, cam, plan, dtype).reshape(1, -1)
     sb = jnp.asarray(sample_base, jnp.int32).reshape(1)
     kern = bounce.as_pallas_packed(plan, m, n_work, n_pix, pix0, total_pix,

@@ -65,6 +65,9 @@ def render_pool_strided(scene, cam, config, raw0, sample_base, pix0=0,
 
     plan = bounce.make_plan(scene, config)
     assert not plan.has_image   # experimental pool: no texel atlas
+    if plan.attr_sweep:           # experimental pools: pk-only sweep
+        import dataclasses
+        plan = dataclasses.replace(plan, attr_sweep=False)
     pk = bounce.pack(scene, cam, plan, dtype)
     if static_iters is not None:
         use_pallas = False
