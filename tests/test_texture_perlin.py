@@ -89,7 +89,7 @@ def test_perlin_noise_zero_at_lattice_and_smooth():
                                                 jnp.float32)))
     hi = np.asarray(perlin.noise(0, jnp.asarray([[1.0 + eps, 0.5, 0.5]],
                                                 jnp.float32)))
-    assert abs(float(lo) - float(hi)) < 0.01
+    assert abs(float(lo[0]) - float(hi[0])) < 0.01
 
 
 def test_perlin_soa_matches_array_form():
